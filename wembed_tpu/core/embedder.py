@@ -1,0 +1,197 @@
+"""Host-level embedder drivers.
+
+``WEmbedEmbedder`` mirrors the reference's NewWEmbedEmbedder surface
+(reference: src/embeddingLib/include/embedder/EmbedderInterface.hpp:15-158,
+src/embeddingLib/src/embedder/NewWEmbedEmbedder.cpp) on top of the jitted
+step: ``calculate_step`` runs one iteration (host-visible metrics),
+``calculate_embedding`` runs the whole device-side while-loop.
+
+``LayeredEmbedder`` is the multilevel driver (reference
+src/embeddingLib/src/embedder/LayeredEmbedder.cpp): embed the coarsest
+layer, then expand child positions from parents layer by layer with a fresh
+optimizer per layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..graphs.csr import CSRGraph
+from ..utils import rng as rng_mod
+from ..utils.timer import Timer, TimingResult
+from . import candidates as cand_mod
+from . import step as step_mod
+from . import weights as weights_mod
+from .options import EmbedderOptions, RepulsionMode
+from .state import DeviceGraph, EmbedState, init_state, random_positions
+
+
+class Loss:
+    """Loss triple from the most recent step (reference include/wembed.h:43-48)."""
+
+    def __init__(self, attractive: float, repulsive: float):
+        self.attractive = float(attractive)
+        self.repulsive = float(repulsive)
+
+    @property
+    def total(self) -> float:
+        return self.attractive + self.repulsive
+
+    def __repr__(self) -> str:
+        return (
+            f"Loss(attractive={self.attractive}, repulsive={self.repulsive}, "
+            f"total={self.total})"
+        )
+
+
+class WEmbedEmbedder:
+    """Flat (single-level) embedder."""
+
+    def __init__(
+        self,
+        graph: CSRGraph,
+        opts: EmbedderOptions | None = None,
+        timer: Timer | None = None,
+        initial_coordinates: np.ndarray | None = None,
+        initial_weights: np.ndarray | None = None,
+        verbose: bool = True,
+    ):
+        self.graph = graph
+        self.opts = opts or EmbedderOptions()
+        self.timer = timer or Timer()
+        self.verbose = verbose
+        self._dtype = jnp.float64 if self.opts.dtype == "float64" else jnp.float32
+        self._dg = DeviceGraph.build(graph)
+        n, d = graph.num_vertices, self.opts.embedding_dimension
+
+        if initial_weights is None:
+            initial_weights = weights_mod.initial_weights(graph, self.opts)
+        if initial_coordinates is None:
+            initial_coordinates = random_positions(n, d, rng_mod.host_rng())
+
+        self._state = init_state(
+            np.asarray(initial_coordinates, dtype=np.float64),
+            rng_mod.new_key(),
+            dtype=self._dtype,
+        )
+        self._set_weights_internal(np.asarray(initial_weights, dtype=np.float64))
+
+    # -------------------------------------------------------------- internals
+    def _set_weights_internal(self, w: np.ndarray) -> None:
+        if w.shape != (self.graph.num_vertices,):
+            raise ValueError(
+                f"weights shape {w.shape} != ({self.graph.num_vertices},)"
+            )
+        self._weights_np = w
+        d = self.opts.embedding_dimension
+        self._weights = jnp.asarray(w, dtype=self._dtype)
+        self._inv_w = jnp.asarray(
+            weights_mod.inv_exp_weights(w, d), dtype=self._dtype
+        )
+        self._index = None
+        mode = self.opts.resolve_repulsion_mode(self.graph.num_vertices)
+        if self.opts.num_negative_samples < 0 and mode is RepulsionMode.BUCKET:
+            self._index = cand_mod.BucketIndex.build(w, self.opts)
+        self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)
+        self._jitted_step = jax.jit(self._step_fn)
+
+    # ------------------------------------------------------------ embedding
+    def calculate_step(self) -> None:
+        """One iteration with host-visible metrics
+        (reference NewWEmbedEmbedder.cpp:14-92)."""
+        if self.graph.num_vertices <= 1:
+            # coarsest-hierarchy-layer short-circuit
+            # (NewWEmbedEmbedder.cpp:25-28)
+            self._state = self._state._replace(
+                iteration=self._state.iteration + 1,
+                pos_change=jnp.asarray(0.0, jnp.float32),
+            )
+            return
+        with self.timer.phase("step", "Embedding step"):
+            self._state = self._jitted_step(self._state, self._weights, self._inv_w)
+            self._state.positions.block_until_ready()
+        it = int(self._state.iteration)
+        if self.verbose and (it == 1 or (it > 0 and it % 10 == 0)):
+            print(
+                f"(Iteration {it}: #rep forces {int(self._state.num_rep_forces)}, "
+                f"relative pos change: {float(self._state.pos_change)})"
+            )
+
+    def is_finished(self) -> bool:
+        return int(self._state.iteration) >= self.opts.max_iterations or (
+            int(self._state.iteration) > 0
+            and float(self._state.pos_change) < self.opts.position_min_change
+        )
+
+    def calculate_embedding(self) -> None:
+        """Full embedding via the device-side while-loop — no per-iteration
+        host round-trips."""
+        if self.graph.num_vertices <= 1:
+            self._state = self._state._replace(
+                pos_change=jnp.asarray(0.0, jnp.float32)
+            )
+            return
+        with self.timer.phase("embedding_all", "Embedding"):
+            self._state = step_mod.run_embedding(
+                self._step_fn,
+                self._state,
+                self._weights,
+                self._inv_w,
+                self.opts.max_iterations,
+                self.opts.position_min_change,
+            )
+            self._state.positions.block_until_ready()
+
+    # ------------------------------------------------------------- accessors
+    @property
+    def state(self) -> EmbedState:
+        return self._state
+
+    @state.setter
+    def state(self, s: EmbedState) -> None:
+        self._state = s
+
+    def get_coordinates(self) -> np.ndarray:
+        return np.asarray(self._state.positions, dtype=np.float64)
+
+    def get_weights(self) -> np.ndarray:
+        return self._weights_np.copy()
+
+    def set_coordinates(self, coordinates: np.ndarray) -> None:
+        coordinates = np.asarray(coordinates, dtype=np.float64)
+        n, d = self.graph.num_vertices, self.opts.embedding_dimension
+        if coordinates.shape[0] != n:
+            raise ValueError(f"expected {n} coordinate rows, got {coordinates.shape[0]}")
+        if coordinates.shape[1] != d:
+            # reference warns and copies the overlapping prefix
+            # (NewWEmbedEmbedder.cpp:125-140)
+            current = self.get_coordinates()
+            k = min(d, coordinates.shape[1])
+            current[:, :k] = coordinates[:, :k]
+            coordinates = current
+        self._state = self._state._replace(
+            positions=jnp.asarray(coordinates, dtype=self._dtype)
+        )
+
+    def set_weights(self, w: np.ndarray) -> None:
+        self._set_weights_internal(np.asarray(w, dtype=np.float64))
+
+    def get_timings(self) -> list[TimingResult]:
+        return self.timer.results()
+
+    def get_loss(self) -> Loss:
+        return Loss(float(self._state.attract_loss), float(self._state.repel_loss))
+
+    @property
+    def iteration(self) -> int:
+        return int(self._state.iteration)
+
+    @property
+    def num_vertices(self) -> int:
+        return self.graph.num_vertices
+
+    @property
+    def embedding_dimension(self) -> int:
+        return self.opts.embedding_dimension
