@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from wembed_tpu.core import EmbedderOptions, RepulsionMode, WEmbedEmbedder
+from wembed_tpu.core import EmbedderOptions, RepulsionMode, WeightType, WEmbedEmbedder
 from wembed_tpu.core import weights as weights_mod
 from wembed_tpu.core.candidates import BucketIndex, doubling_weight_buckets
 from wembed_tpu.core.embedder import Loss
@@ -158,14 +158,18 @@ def test_bucket_candidates_are_superset_of_active_pairs():
 def test_overflow_counter_reports_truncation():
     set_seed(5)
     rng = np.random.default_rng(8)
-    g, _ = generators.geometric_graph(400, rng=rng)
+    g, _ = generators.geometric_graph(4000, rng=rng)
     n = g.num_vertices
-    coords = np.zeros((n, 2)) + rng.uniform(0, 0.01, size=(n, 2))  # crammed
+    # all points crammed into a tiny ball: every pair is within radius, but
+    # the span (sized for the expected local density) cannot cover the
+    # whole bucket => truncation must be surfaced
+    coords = rng.uniform(0, 1e-3, size=(n, 2))
     opts = EmbedderOptions(
         embedding_dimension=2, repulsion_mode=RepulsionMode.BUCKET,
+        weight_type=WeightType.UNIT,  # single weight bucket
         window_capacity=4,
     )
-    w = weights_mod.initial_weights(g, opts)
+    w = weights_mod.unit_weights(n)
     emb = _embedder(g, opts, coords, w)
     emb.calculate_step()
     assert int(emb.state.overflow) > 0

@@ -6,6 +6,10 @@ graph = arrays, step = one jitted pure function over a state pytree,
 scale = sharding annotations over a device mesh.
 """
 
+from .utils.compile_cache import enable_default_compile_cache
+
+enable_default_compile_cache()
+
 from . import core, graphs, utils
 from .core import EmbedderOptions, WEmbedEmbedder
 

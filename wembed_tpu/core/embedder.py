@@ -93,7 +93,9 @@ class WEmbedEmbedder:
         self._index = None
         mode = self.opts.resolve_repulsion_mode(self.graph.num_vertices)
         if self.opts.num_negative_samples < 0 and mode is RepulsionMode.BUCKET:
-            self._index = cand_mod.BucketIndex.build(w, self.opts)
+            self._index = cand_mod.BucketIndex.build(
+                w, self.opts, self.graph.edge_src, self.graph.col_idx
+            )
         self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)
         self._jitted_step = jax.jit(self._step_fn)
 
