@@ -1,0 +1,114 @@
+"""Public API surface tests — exercises the reference-compatible names
+(reference python/bindings.cpp:11-100, python/examples/cli_example.py)."""
+
+import numpy as np
+
+import wembed_tpu.api as wembed
+
+
+def _make_graph():
+    return wembed.graphFromEdgeListFile("assets/small_graph.edg")
+
+
+def test_graph_surface():
+    g = _make_graph()
+    assert g.getNumVertices() == 5
+    assert g.getNumEdges() == 6
+    assert g.getNumNeighbors(1) == 3
+    assert set(g.getNeighbors(1)) == {0, 2, 3}
+    assert g.areNeighbors(0, 1)
+    assert not g.areNeighbors(0, 4)
+    edges = g.getEdgeList()
+    assert len(edges) == 6
+    assert all(e.src < e.dst for e in edges)
+    e0 = g.getEdges(1)[0]
+    assert g.getEdgeTarget(e0) in g.getNeighbors(1)
+    assert "CSRGraph" in g.toString()
+
+
+def test_graph_from_edges():
+    g = wembed.graphFromEdges([wembed.Edge(0, 1), wembed.Edge(1, 2)])
+    assert g.getNumVertices() == 3
+    assert g.getNumEdges() == 2
+
+
+def test_embedder_full_cycle(tmp_path):
+    wembed.setSeed(42)
+    g = _make_graph()
+    opts = wembed.Options()
+    opts.embeddingDimension = 2
+    opts.maxIterations = 100
+    emb = wembed.createEmbedder(g, opts)
+    emb.calculateStep()
+    assert not emb.isFinished() or True
+    emb.calculateEmbedding()
+    assert emb.isFinished()
+
+    assert emb.getNumVertices() == 5
+    assert emb.getEmbeddingDimension() == 2
+    coords = emb.getCoordinates()
+    assert len(coords) == 5 and len(coords[0]) == 2
+    weights = emb.getWeights()
+    assert len(weights) == 5
+
+    out = np.zeros(10)
+    emb.copyCoordinatesTo(out)
+    np.testing.assert_allclose(out.reshape(5, 2), np.asarray(coords))
+
+    loss = emb.getLoss()
+    assert loss.total == loss.attractive + loss.repulsive
+
+    timings = emb.getTimings()
+    assert timings and any(t.display_name for t in timings)
+    assert isinstance(wembed.timingsToString(timings), str)
+
+    path = str(tmp_path / "out.csv")
+    emb.writeCoordinates(path)
+    back = wembed.readCoordinatesFromFile(path)
+    assert len(back) == 5 and len(back[0]) == 3  # coords + weight
+
+    g2 = emb.getCurrentGraph()
+    assert g2.getNumVertices() == 5
+
+
+def test_embedder_resume(tmp_path):
+    wembed.setSeed(1)
+    g = _make_graph()
+    opts = wembed.Options()
+    opts.embeddingDimension = 2
+    opts.maxIterations = 20
+    emb = wembed.createEmbedder(g, opts)
+    emb.calculateEmbedding()
+    path = str(tmp_path / "resume.csv")
+    emb.writeCoordinates(path, writeWeights=False)
+
+    emb2 = wembed.createEmbedder(g, opts)
+    emb2.setCoordinates(wembed.readCoordinatesFromFile(path))
+    np.testing.assert_allclose(
+        emb2.getCoordinates(), emb.getCoordinates(), rtol=1e-6
+    )
+
+
+def test_layered_embedder_api():
+    wembed.setSeed(7)
+    g = _make_graph()
+    opts = wembed.Options()
+    opts.embeddingDimension = 2
+    opts.maxIterations = 50
+    opts.layeredEmbedding = True
+    emb = wembed.createEmbedder(g, opts)
+    emb.calculateEmbedding()
+    assert emb.isFinished()
+    assert len(emb.getCoordinates()) == 5
+
+
+def test_unit_weights_option():
+    wembed.setSeed(3)
+    g = _make_graph()
+    opts = wembed.Options()
+    opts.embeddingDimension = 2
+    opts.useUnitWeights = True
+    opts.maxIterations = 10
+    emb = wembed.createEmbedder(g, opts)
+    emb.calculateEmbedding()
+    assert emb.getWeights() == [1.0] * 5

@@ -11,23 +11,26 @@ Rust ``sprk`` crate) as an on-device blocked sort-merge candidate kernel:
      host-side at build time, giving every bucket static shapes.
   2. Per iteration, all positions are projected onto one global principal
      axis (power iteration on the (d, d) covariance — the moral equivalent
-     of SNN's SVD projection, snn.cpp:97-147).  Queries are sorted by
-     projection once; each bucket's members are sorted by the same
-     projection.
+     of SNN's SVD projection, snn.cpp:97-147); each bucket's members are
+     sorted by this projection.
   3. Every vertex queries every bucket with the conservative radius
      edgeLength * (w_v * bucketMaxWeight)^(1/d) (WeightedIndex.cpp:65-81).
-     Queries are processed in blocks of Q consecutive sorted projections;
-     each block reads ONE contiguous span of the bucket's sorted members
-     that covers all its windows, then applies the exact distance filter.
-     Contiguous spans mean the hot loop does block-level slices instead of
-     per-candidate random gathers — the difference between HBM streaming
-     and pointer chasing on TPU.  Fixed span sizes keep all shapes static;
-     truncation is surfaced via an overflow counter (SURVEY.md §7 hard
-     part #1).
+     LIGHT queries (the vast majority under power-law weights) are grouped
+     by their own weight bucket — making per-block radii homogeneous —
+     sorted by projection, and processed in blocks of Q against ONE
+     contiguous span of each target bucket's sorted members, then
+     exact-distance filtered.  Contiguous spans mean the hot loop does
+     block-level slices instead of per-candidate random gathers — the
+     difference between HBM streaming and pointer chasing on TPU.
+     HEAVY queries (few, with radii covering much of the embedding) skip
+     the index entirely and compute exact dense rows against all vertices
+     — the replicated-top-bucket insight of SURVEY.md §5.8.  Fixed span
+     sizes keep all shapes static; truncation is surfaced via an overflow
+     counter (SURVEY.md §7 hard part #1).
 
 Neighbor filtering (the reference's areNeighbors check at candidate time,
 NewWEmbedEmbedder.cpp:328) is NOT done per candidate — that costs
-O(n*K*log deg) random gathers.  Instead the candidate pass repels every
+O(n*K*log deg) random gathers.  Instead the candidate passes repel every
 in-radius pair and an O(E) edge-correction pass subtracts exactly the
 contributions of pairs that are graph neighbors, reproducing the filtered
 semantics bit-for-bit (each directed edge recomputes whether its endpoint
@@ -51,6 +54,7 @@ from .state import DeviceGraph
 _NO_RANK = np.int32(2**30)  # rank sentinel: never inside any span
 _QUERY_BLOCK = 256  # queries per block (Q)
 _SENTINEL_POS = 1e15  # padded query coordinate; far from everything, finite
+_HEAVY_PAIR_BUDGET = 2e9  # max heavy-query x n pair interactions per step
 
 
 def doubling_weight_buckets(weights: np.ndarray, doubling_factor: float) -> np.ndarray:
@@ -85,7 +89,8 @@ class Bucket:
     max_weight: float  # conservative weight bound for query radii
     span: int  # per-query-block member span size (static)
     sample_size: int  # members inserted per step (IndexSize < 1 subsamples)
-    # directed edges whose DST lies in this bucket, padded (for correction)
+    heavy_queries: bool  # True: members query densely instead of via spans
+    # directed edges with light src whose DST lies in this bucket (padded)
     edge_src: np.ndarray
     edge_dst: np.ndarray
     edge_mask: np.ndarray
@@ -97,6 +102,12 @@ class BucketIndex:
 
     buckets: tuple[Bucket, ...]
     n: int
+    heavy_ids: np.ndarray  # (H,) vertices with dense query rows
+    bucket_max_of: np.ndarray  # (n,) float: max weight of each vertex's bucket
+    # directed edges whose SRC is a heavy query (padded)
+    heavy_edge_src: np.ndarray
+    heavy_edge_dst: np.ndarray
+    heavy_edge_mask: np.ndarray
 
     @staticmethod
     def build(
@@ -104,50 +115,116 @@ class BucketIndex:
         opts: EmbedderOptions,
         edge_src: np.ndarray | None = None,
         edge_dst: np.ndarray | None = None,
+        span_scale: float = 1.0,
     ) -> "BucketIndex":
         """``edge_src``/``edge_dst`` are the directed edge arrays of the
-        graph; they are grouped by destination bucket for the correction
-        pass.  Omit them only for index-only uses (tests)."""
+        graph; they are grouped by destination bucket (and heavy source)
+        for the correction passes.  Omit them only for index-only uses."""
         n = weights.shape[0]
         thresholds = doubling_weight_buckets(weights, opts.doubling_factor)
         # upper_bound: first threshold strictly greater than w
         # (WeightedIndex.cpp:22-28)
         assignment = np.searchsorted(thresholds, weights, side="right")
         max_of_bucket = np.concatenate([thresholds, [float(np.max(weights))]])
+        num_buckets = thresholds.shape[0] + 1
         if edge_src is None:
             edge_src = np.empty(0, np.int32)
             edge_dst = np.empty(0, np.int32)
-        dst_bucket = assignment[edge_dst] if edge_dst.size else edge_dst
+        edge_src = np.asarray(edge_src, dtype=np.int32)
+        edge_dst = np.asarray(edge_dst, dtype=np.int32)
 
+        members_of = [
+            np.flatnonzero(assignment == b).astype(np.int32)
+            for b in range(num_buckets)
+        ]
+        sizes = np.asarray([m.shape[0] for m in members_of])
+
+        # heavy query buckets: walk from the heaviest down while the dense
+        # pair budget allows; these few vertices get exact dense rows.
+        # Capped at a fraction of n so small graphs still exercise the
+        # span path (they would otherwise be entirely "heavy").
+        budget = min(
+            max(_QUERY_BLOCK, int(_HEAVY_PAIR_BUDGET // max(n, 1))),
+            max(64, n // 16),
+        )
+        heavy_flags = np.zeros(num_buckets, bool)
+        total = 0
+        for b in range(num_buckets - 1, -1, -1):
+            if sizes[b] == 0:
+                continue
+            if total + sizes[b] > budget:
+                break
+            heavy_flags[b] = True
+            total += sizes[b]
+        heavy_ids = (
+            np.concatenate([members_of[b] for b in range(num_buckets) if heavy_flags[b]])
+            if heavy_flags.any()
+            else np.empty(0, np.int32)
+        )
+        heavy_mask_per_vertex = np.zeros(n, bool)
+        heavy_mask_per_vertex[heavy_ids] = True
+        light_max_weight = max(
+            (max_of_bucket[b] for b in range(num_buckets) if sizes[b] and not heavy_flags[b]),
+            default=float(np.max(weights)),
+        )
+
+        dst_bucket = assignment[edge_dst] if edge_dst.size else edge_dst
+        src_heavy = heavy_mask_per_vertex[edge_src] if edge_src.size else np.zeros(0, bool)
+        h_sel = np.flatnonzero(src_heavy)
+        hsrc, _ = _pad_to(edge_src[h_sel], 512, 0)
+        hdst, hmask = _pad_to(edge_dst[h_sel], 512, 0)
+
+        L, d = opts.edge_length, opts.embedding_dimension
+        spread = max(float(n) ** (1.0 / d), 1e-9)  # init cube side
         buckets = []
-        for b in range(thresholds.shape[0] + 1):
-            members = np.flatnonzero(assignment == b).astype(np.int32)
+        for b in range(num_buckets):
+            members = members_of[b]
             if members.shape[0] == 0:
                 continue
             n_b = members.shape[0]
             sample = n_b
             if opts.index_size < 1.0:
                 sample = max(1, int(np.ceil(n_b * opts.index_size)))
-            # span: expected members under a block of Q sorted queries
-            # (Q * density * safety) plus the radius window width knob
+            # span: block width term (expected members under Q sorted
+            # queries) + radius window term (worst light-query radius as a
+            # fraction of the embedding spread)
             expected = _QUERY_BLOCK * sample / max(n, 1)
-            span = _round_up(int(3 * expected) + opts.window_capacity, 64)
+            radius_frac = min(
+                1.0,
+                2.0 * L * (light_max_weight * max_of_bucket[b]) ** (1.0 / d) / spread,
+            )
+            span = _round_up(
+                int(
+                    span_scale
+                    * (3 * expected + opts.window_capacity + radius_frac * sample)
+                ),
+                64,
+            )
             span = min(span, _round_up(sample, 8))
-            sel = np.flatnonzero(dst_bucket == b)
-            esrc, _ = _pad_to(edge_src[sel].astype(np.int32), 512, 0)
-            edst, emask = _pad_to(edge_dst[sel].astype(np.int32), 512, 0)
+            sel = np.flatnonzero((dst_bucket == b) & ~src_heavy)
+            esrc, _ = _pad_to(edge_src[sel], 512, 0)
+            edst, emask = _pad_to(edge_dst[sel], 512, 0)
             buckets.append(
                 Bucket(
                     members=members,
                     max_weight=float(max_of_bucket[b]),
                     span=int(span),
                     sample_size=int(sample),
+                    heavy_queries=bool(heavy_flags[b]),
                     edge_src=esrc,
                     edge_dst=edst,
                     edge_mask=emask,
                 )
             )
-        return BucketIndex(buckets=tuple(buckets), n=n)
+        return BucketIndex(
+            buckets=tuple(buckets),
+            n=n,
+            heavy_ids=heavy_ids,
+            bucket_max_of=max_of_bucket[assignment].astype(np.float64),
+            heavy_edge_src=hsrc,
+            heavy_edge_dst=hdst,
+            heavy_edge_mask=hmask,
+        )
 
 
 def _principal_axis(x_centered: jax.Array, iters: int = 12) -> jax.Array:
@@ -177,15 +254,23 @@ def bucket_repulsion_forces(
     index: BucketIndex,
     opts: EmbedderOptions,
     key: jax.Array,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Sparse repulsion over bucketed candidate spans.
+    shard: tuple[str, int] | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sparse repulsion over bucketed candidate spans + dense heavy rows.
 
-    Returns (force (n, d), repel_loss, num_rep_candidates, overflow).
-    ``num_rep_candidates`` counts exact-radius candidates that pass the
-    neighbor/color filters — the analogue of the reference's
+    Returns (force (n, d), repel_loss, num_rep_candidates, overflow,
+    zero_count (n,)).  The caller applies the coincident-point kicks from
+    ``zero_count``.  ``num_rep_candidates`` counts exact-radius candidates
+    that pass the neighbor/color filters — the analogue of the reference's
     numRepForceCalculations (NewWEmbedEmbedder.cpp:321-332).  ``overflow``
     counts members dropped by span truncation (zero when spans suffice;
     surfaced because the reference's exact index cannot truncate).
+
+    With ``shard=(axis_name, P)`` (inside shard_map) the sorted structures
+    are computed replicated (cheap: O(n log n)), while the block x span
+    candidate work, the heavy dense rows, and the edge-correction work are
+    partitioned across devices; ALL outputs are partial and must be
+    psummed by the caller.
     """
     n, d = positions.shape
     dtype = positions.dtype
@@ -193,49 +278,40 @@ def bucket_repulsion_forces(
     inv_d = 1.0 / d
     L2 = jnp.asarray(L * L, dtype)
 
+    if shard is not None:
+        shard_axis, num_shards = shard
+        shard_idx = lax.axis_index(shard_axis)
+        is_first_shard = shard_idx == 0
+    else:
+        num_shards = 1
+        shard_idx = jnp.asarray(0, jnp.int32)
+        is_first_shard = jnp.asarray(True)
+
     colors = dg.colors
     key_iter = jax.random.split(key, len(index.buckets) + 1)
-    kick_key = key_iter[0]
 
-    # ---- global projection axis + sorted queries (shared by all buckets)
+    force = jnp.zeros((n, d), dtype)
+    loss = jnp.asarray(0.0, jnp.float32)
+    count = jnp.asarray(0, jnp.int32)
+    overflow = jnp.asarray(0, jnp.int32)
+    zero_count = jnp.zeros((n,), jnp.int32)
+
+    # ---- global projection axis
     mean = jnp.mean(positions, axis=0)
     centered = positions - mean
     axis = _principal_axis(centered)
     qproj = centered @ axis  # (n,)
-    radius_all = (L * jnp.power(weights * jnp.asarray(1.0, dtype), inv_d)).astype(dtype)
-    del radius_all  # per-bucket radii computed below
 
-    n_pad = _round_up(n, _QUERY_BLOCK)
-    nblocks = n_pad // _QUERY_BLOCK
-    pad = n_pad - n
-    qproj_p = jnp.concatenate([qproj, jnp.full((pad,), _SENTINEL_POS, dtype)])
-    qorder = jnp.argsort(qproj_p)  # sentinels sort to the end
-    # sorted query-side arrays (contiguous per block after this one gather)
-    qpos_s = jnp.concatenate(
-        [positions, jnp.full((pad, d), _SENTINEL_POS, dtype)]
-    )[qorder]
-    qproj_s = qproj_p[qorder]
-    qw_s = jnp.concatenate([weights.astype(dtype), jnp.ones((pad,), dtype)])[qorder]
-    qinvw_s = jnp.concatenate([inv_w.astype(dtype), jnp.ones((pad,), dtype)])[qorder]
-    qcolor_s = jnp.concatenate([colors, jnp.full((pad,), -2, colors.dtype)])[qorder]
-    qreal_s = qorder < n
-
-    # per-query block id, for the correction pass (scatter; drop sentinels)
-    block_of = jnp.zeros((n,), jnp.int32)
-    block_ids_sorted = (
-        jnp.arange(n_pad, dtype=jnp.int32) // _QUERY_BLOCK
-    )
-    block_of = block_of.at[qorder].set(block_ids_sorted, mode="drop")
-
-    force_sorted = jnp.zeros((n_pad, d), dtype)
-    loss = jnp.asarray(0.0, jnp.float32)
-    count = jnp.asarray(0, jnp.int32)
-    overflow = jnp.asarray(0, jnp.int32)
-    zero_sorted = jnp.zeros((n_pad,), jnp.int32)
-
-    # ---- per-bucket member structures + per-block span starts
+    # ---- per-bucket member structures (sorted by projection) + ranks +
+    # per-step sampled-membership mask
     structs = []
     rank_of = jnp.full((n,), _NO_RANK, jnp.int32)
+    subsampled = any(
+        b.sample_size < b.members.shape[0] for b in index.buckets
+    )
+    in_index = None
+    if subsampled:
+        in_index = jnp.zeros((n,), bool)
     for bi, bucket in enumerate(index.buckets):
         members = jnp.asarray(bucket.members)
         if bucket.sample_size < bucket.members.shape[0]:
@@ -244,158 +320,339 @@ def bucket_repulsion_forces(
             # here so shapes stay static — documented deviation)
             perm = jax.random.permutation(key_iter[bi + 1], members.shape[0])
             members = members[perm[: bucket.sample_size]]
+        if subsampled:
+            in_index = in_index.at[members].set(True)
         mproj = qproj[members]
         order = jnp.argsort(mproj)
         sids = members[order]
         sproj = mproj[order]
         spos = positions[sids]
         rank_of = rank_of.at[sids].set(jnp.arange(sids.shape[0], dtype=jnp.int32))
+        structs.append((bucket, sids, sproj, spos))
 
-        # per-block conservative window bounds over this bucket
-        radius = (L * jnp.power(qw_s * bucket.max_weight, inv_d)).astype(dtype)
-        qlo = jnp.where(qreal_s, qproj_s - radius, jnp.asarray(np.inf, dtype))
-        qhi = jnp.where(qreal_s, qproj_s + radius, jnp.asarray(-np.inf, dtype))
-        block_lo = jnp.min(qlo.reshape(nblocks, _QUERY_BLOCK), axis=1)
-        block_hi = jnp.max(qhi.reshape(nblocks, _QUERY_BLOCK), axis=1)
-        start = jnp.searchsorted(sproj, block_lo).astype(jnp.int32)  # (nblocks,)
-        stop = jnp.searchsorted(sproj, block_hi, side="right").astype(jnp.int32)
-        overflow += jnp.sum(
-            jnp.maximum(stop - start - bucket.span, 0), dtype=jnp.int32
+    # ---- light-query ordering: group queries by their own weight bucket,
+    # sort each group by projection, pad each group to whole blocks.
+    # Blocks are then radius-homogeneous, so spans stay tight under
+    # power-law weights.
+    light_buckets = [b for b in index.buckets if not b.heavy_queries]
+    q_segments = []
+    for bucket in light_buckets:
+        mem = jnp.asarray(bucket.members)
+        order_q = jnp.argsort(qproj[mem])
+        ids_sorted = mem[order_q]
+        n_a = bucket.members.shape[0]
+        seg_pad = _round_up(n_a, _QUERY_BLOCK) - n_a
+        q_segments.append(
+            jnp.concatenate([ids_sorted, jnp.full((seg_pad,), n, ids_sorted.dtype)])
         )
-        structs.append((bucket, sids, sproj, spos, radius, start))
+    n_pad = int(
+        sum(_round_up(b.members.shape[0], _QUERY_BLOCK) for b in light_buckets)
+    )
+    if n_pad > 0:
+        q_sorted_ids = jnp.concatenate(q_segments)  # sentinel id = n
+        nblocks = n_pad // _QUERY_BLOCK
 
-    # ---- candidate pass: block x span interactions (color filter only —
-    # neighbors are handled by the correction pass below).  Blocks are
-    # processed in groups via lax.map so peak memory stays bounded for
-    # large graphs.
-    qp_blocks = qpos_s.reshape(nblocks, _QUERY_BLOCK, d)
-    qcolor_blocks = qcolor_s.reshape(nblocks, _QUERY_BLOCK)
-    qinvw_blocks = qinvw_s.reshape(nblocks, _QUERY_BLOCK)
+        # query-side arrays with a sentinel row appended (id n selects it)
+        pos_ext = jnp.concatenate([positions, jnp.full((1, d), _SENTINEL_POS, dtype)])
+        qpos_s = pos_ext[q_sorted_ids]
+        qw_s = jnp.concatenate([weights.astype(dtype), jnp.ones((1,), dtype)])[
+            q_sorted_ids
+        ]
+        qinvw_s = jnp.concatenate([inv_w.astype(dtype), jnp.ones((1,), dtype)])[
+            q_sorted_ids
+        ]
+        qcolor_s = jnp.concatenate([colors, jnp.full((1,), -2, colors.dtype)])[
+            q_sorted_ids
+        ]
+        qproj_s = jnp.concatenate([qproj, jnp.full((1,), _SENTINEL_POS, dtype)])[
+            q_sorted_ids
+        ]
+        qreal_s = q_sorted_ids < n
 
-    for bucket, sids, sproj, spos, radius, start in structs:
-        S = bucket.span
-        n_b = sids.shape[0]
-        r_blocks = radius.reshape(nblocks, _QUERY_BLOCK)
+        # per-query block id, for the correction pass
+        block_of = jnp.zeros((n,), jnp.int32)
+        block_ids_sorted = jnp.arange(n_pad, dtype=jnp.int32) // _QUERY_BLOCK
+        block_of = block_of.at[q_sorted_ids].set(block_ids_sorted, mode="drop")
 
-        def process_blocks(args, *, S=S, n_b=n_b, sids=sids, spos=spos):
-            start_g, qp_g, r_g, qcolor_g, qinvw_g = args  # leading dim: group
-            span_idx = start_g[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-            span_ok = span_idx < n_b
-            idx = jnp.minimum(span_idx, n_b - 1)
-            # contiguous block-level reads of the sorted member arrays
-            span_pos = spos[idx]  # (G, S, d)
-            span_ids = sids[idx]
-            span_invw = inv_w[span_ids].astype(dtype)
-            span_color = colors[span_ids]
+        qp_blocks = qpos_s.reshape(nblocks, _QUERY_BLOCK, d)
+        qcolor_blocks = qcolor_s.reshape(nblocks, _QUERY_BLOCK)
+        qinvw_blocks = qinvw_s.reshape(nblocks, _QUERY_BLOCK)
 
-            diff = qp_g[:, :, None, :] - span_pos[:, None, :, :]  # (G, Q, S, d)
-            dist2 = jnp.sum(diff * diff, axis=-1)
-            valid = (
-                span_ok[:, None, :]
-                & (dist2 <= (r_g * r_g)[:, :, None])
-                & (span_color[:, None, :] != qcolor_g[:, :, None])
+        # block-axis sharding: each device takes a contiguous range of
+        # query blocks (inert-masked beyond the real range)
+        if num_shards > 1:
+            blocks_per = -(-nblocks // num_shards)
+            lblocks = shard_idx * blocks_per + jnp.arange(blocks_per)
+            lb_valid = lblocks < nblocks
+            bsel = jnp.minimum(lblocks, nblocks - 1)
+            qp_l = jnp.where(
+                lb_valid[:, None, None], qp_blocks[bsel], _SENTINEL_POS
             )
-            ws = _weight_scaling(
-                qinvw_g[:, :, None], span_invw[:, None, :], opts.additive_weights
-            )
-            pos_dist2 = dist2 > 0
-            active = valid & (dist2 * ws * ws <= L2) & pos_dist2
-            inv_dist = lax.rsqrt(jnp.maximum(dist2, jnp.asarray(1e-30, dtype)))
-            coeff = jnp.where(
-                active, opts.repulsion_scale * ws * inv_dist, 0.0
-            ).astype(dtype)
-            f_g = jnp.einsum("bqs,bqsd->bqd", coeff, diff)
-            loss_g = jnp.sum(
-                jnp.where(active, L / ws - jnp.sqrt(dist2), 0.0), dtype=jnp.float32
-            )
-            count_g = jnp.sum(valid, dtype=jnp.int32)
-            zero_g = jnp.sum(valid & ~pos_dist2, axis=2, dtype=jnp.int32)
-            return f_g, loss_g, count_g, zero_g
-
-        # group size: keep (G, Q, S) work arrays around ~4M elements
-        group = max(1, min(nblocks, 2**22 // (_QUERY_BLOCK * S)))
-        ngroups = (nblocks + group - 1) // group
-        if ngroups <= 1:
-            f_all, loss_b, count_b, zero_b = process_blocks(
-                (start, qp_blocks, r_blocks, qcolor_blocks, qinvw_blocks)
-            )
-            force_sorted = force_sorted + f_all.reshape(n_pad, d)
-            loss += loss_b
-            count += count_b
-            zero_sorted += zero_b.reshape(n_pad)
+            qcolor_l = jnp.where(lb_valid[:, None], qcolor_blocks[bsel], -2)
+            qinvw_l = jnp.where(lb_valid[:, None], qinvw_blocks[bsel], 1.0)
+            local_nblocks = blocks_per
         else:
-            # pad the block axis with inert blocks (start=n_b masks the span,
-            # sentinel queries are beyond every radius)
-            bpad = ngroups * group - nblocks
+            qp_l, qcolor_l, qinvw_l = qp_blocks, qcolor_blocks, qinvw_blocks
+            bsel, lb_valid = None, None
+            local_nblocks = nblocks
 
-            def pad_blocks(x, fill):
-                shape = (bpad,) + x.shape[1:]
-                return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)])
+        force_sorted = jnp.zeros((local_nblocks * _QUERY_BLOCK, d), dtype)
+        zero_sorted = jnp.zeros((local_nblocks * _QUERY_BLOCK,), jnp.int32)
+        span_starts = []
 
-            stacked = (
-                pad_blocks(start, n_b).reshape(ngroups, group),
-                pad_blocks(qp_blocks, _SENTINEL_POS).reshape(
-                    ngroups, group, _QUERY_BLOCK, d
-                ),
-                pad_blocks(r_blocks, 0.0).reshape(ngroups, group, _QUERY_BLOCK),
-                pad_blocks(qcolor_blocks, -2).reshape(ngroups, group, _QUERY_BLOCK),
-                pad_blocks(qinvw_blocks, 1.0).reshape(ngroups, group, _QUERY_BLOCK),
+        for bucket, sids, sproj, spos in structs:
+            # per-block conservative window bounds over this bucket
+            radius = (L * jnp.power(qw_s * bucket.max_weight, inv_d)).astype(dtype)
+            qlo = jnp.where(qreal_s, qproj_s - radius, jnp.asarray(np.inf, dtype))
+            qhi = jnp.where(qreal_s, qproj_s + radius, jnp.asarray(-np.inf, dtype))
+            block_lo = jnp.min(qlo.reshape(nblocks, _QUERY_BLOCK), axis=1)
+            block_hi = jnp.max(qhi.reshape(nblocks, _QUERY_BLOCK), axis=1)
+            start = jnp.searchsorted(sproj, block_lo).astype(jnp.int32)
+            stop = jnp.searchsorted(sproj, block_hi, side="right").astype(jnp.int32)
+            overflow += jnp.where(
+                is_first_shard,
+                jnp.sum(jnp.maximum(stop - start - bucket.span, 0), dtype=jnp.int32),
+                0,
             )
-            f_all, loss_b, count_b, zero_b = lax.map(process_blocks, stacked)
-            force_sorted = force_sorted + f_all.reshape(-1, d)[:n_pad]
-            loss += jnp.sum(loss_b)
-            count += jnp.sum(count_b)
-            zero_sorted += zero_b.reshape(-1)[:n_pad]
+            span_starts.append(start)
 
-    # unsort query-side accumulators back to vertex order
-    force = jnp.zeros((n, d), dtype).at[qorder].add(force_sorted, mode="drop")
-    zero_count = jnp.zeros((n,), jnp.int32).at[qorder].add(zero_sorted, mode="drop")
+            S = bucket.span
+            n_b = sids.shape[0]
+            r_all = radius.reshape(nblocks, _QUERY_BLOCK)
+            if num_shards > 1:
+                r_blocks = jnp.where(lb_valid[:, None], r_all[bsel], 0.0)
+                start_l = jnp.where(lb_valid, start[bsel], n_b)
+            else:
+                r_blocks = r_all
+                start_l = start
 
-    # ---- O(E) correction — subtract neighbor pairs the spans wrongly
-    # repelled (reference filters them at candidate time,
-    # NewWEmbedEmbedder.cpp:328)
-    for bucket, sids, sproj, spos, radius, start in structs:
-        if bucket.edge_src.shape[0] == 0:
-            continue
-        esrc = jnp.asarray(bucket.edge_src)
-        edst = jnp.asarray(bucket.edge_dst)
-        emask = jnp.asarray(bucket.edge_mask)
-        psrc = positions[esrc]
-        pdst = positions[edst]
-        r_e = (L * jnp.power(weights[esrc] * bucket.max_weight, inv_d)).astype(dtype)
-        rank = rank_of[edst]
-        span_start = start[block_of[esrc]]
-        diff = psrc - pdst
+            def process_blocks(args, *, S=S, n_b=n_b, sids=sids, spos=spos):
+                start_g, qp_g, r_g, qcolor_g, qinvw_g = args
+                span_idx = start_g[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+                span_ok = span_idx < n_b
+                idx = jnp.minimum(span_idx, n_b - 1)
+                # contiguous block-level reads of the sorted member arrays
+                span_pos = spos[idx]  # (G, S, d)
+                span_ids = sids[idx]
+                span_invw = inv_w[span_ids].astype(dtype)
+                span_color = colors[span_ids]
+
+                diff = qp_g[:, :, None, :] - span_pos[:, None, :, :]  # (G,Q,S,d)
+                dist2 = jnp.sum(diff * diff, axis=-1)
+                valid = (
+                    span_ok[:, None, :]
+                    & (dist2 <= (r_g * r_g)[:, :, None])
+                    & (span_color[:, None, :] != qcolor_g[:, :, None])
+                )
+                ws = _weight_scaling(
+                    qinvw_g[:, :, None], span_invw[:, None, :], opts.additive_weights
+                )
+                pos_dist2 = dist2 > 0
+                active = valid & (dist2 * ws * ws <= L2) & pos_dist2
+                inv_dist = lax.rsqrt(jnp.maximum(dist2, jnp.asarray(1e-30, dtype)))
+                coeff = jnp.where(
+                    active, opts.repulsion_scale * ws * inv_dist, 0.0
+                ).astype(dtype)
+                f_g = jnp.einsum("bqs,bqsd->bqd", coeff, diff)
+                loss_g = jnp.sum(
+                    jnp.where(active, L / ws - jnp.sqrt(dist2), 0.0),
+                    dtype=jnp.float32,
+                )
+                count_g = jnp.sum(valid, dtype=jnp.int32)
+                zero_g = jnp.sum(valid & ~pos_dist2, axis=2, dtype=jnp.int32)
+                return f_g, loss_g, count_g, zero_g
+
+            # group size: keep (G, Q, S) work arrays around ~4M elements
+            group = max(1, min(local_nblocks, 2**22 // (_QUERY_BLOCK * S)))
+            ngroups = (local_nblocks + group - 1) // group
+            local_q = local_nblocks * _QUERY_BLOCK
+            if ngroups <= 1:
+                f_all, loss_b, count_b, zero_b = process_blocks(
+                    (start_l, qp_l, r_blocks, qcolor_l, qinvw_l)
+                )
+                force_sorted = force_sorted + f_all.reshape(local_q, d)
+                loss += loss_b
+                count += count_b
+                zero_sorted += zero_b.reshape(local_q)
+            else:
+                # pad the block axis with inert blocks (start=n_b masks the
+                # span, sentinel queries are beyond every radius)
+                bpad = ngroups * group - local_nblocks
+
+                def pad_blocks(x, fill):
+                    shape = (bpad,) + x.shape[1:]
+                    return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)])
+
+                stacked = (
+                    pad_blocks(start_l, n_b).reshape(ngroups, group),
+                    pad_blocks(qp_l, _SENTINEL_POS).reshape(
+                        ngroups, group, _QUERY_BLOCK, d
+                    ),
+                    pad_blocks(r_blocks, 0.0).reshape(ngroups, group, _QUERY_BLOCK),
+                    pad_blocks(qcolor_l, -2).reshape(ngroups, group, _QUERY_BLOCK),
+                    pad_blocks(qinvw_l, 1.0).reshape(ngroups, group, _QUERY_BLOCK),
+                )
+                f_all, loss_b, count_b, zero_b = lax.map(process_blocks, stacked)
+                force_sorted = force_sorted + f_all.reshape(-1, d)[:local_q]
+                loss += jnp.sum(loss_b)
+                count += jnp.sum(count_b)
+                zero_sorted += zero_b.reshape(-1)[:local_q]
+
+        # unsort query-side accumulators back to vertex order
+        if num_shards > 1:
+            qrows = shard_idx * local_q + jnp.arange(local_q)
+            qids = jnp.where(
+                qrows < n_pad, q_sorted_ids[jnp.minimum(qrows, n_pad - 1)], n
+            )
+            force = force.at[qids].add(force_sorted, mode="drop")
+            zero_count = zero_count.at[qids].add(zero_sorted, mode="drop")
+        else:
+            force = force.at[q_sorted_ids].add(force_sorted, mode="drop")
+            zero_count = zero_count.at[q_sorted_ids].add(zero_sorted, mode="drop")
+
+        # ---- O(E) correction for light-src edges — subtract neighbor pairs
+        # the spans wrongly repelled (reference filters them at candidate
+        # time, NewWEmbedEmbedder.cpp:328)
+        for (bucket, sids, sproj, spos), start in zip(structs, span_starts):
+            if bucket.edge_src.shape[0] == 0:
+                continue
+            esrc = jnp.asarray(bucket.edge_src)
+            edst = jnp.asarray(bucket.edge_dst)
+            emask = jnp.asarray(bucket.edge_mask)
+            if num_shards > 1:
+                esrc, edst, emask = _shard_edge_group(
+                    esrc, edst, emask, shard_idx, num_shards
+                )
+            psrc = positions[esrc]
+            pdst = positions[edst]
+            r_e = (
+                L * jnp.power(weights[esrc] * bucket.max_weight, inv_d)
+            ).astype(dtype)
+            rank = rank_of[edst]
+            span_start = start[block_of[esrc]]
+            diff = psrc - pdst
+            dist2 = jnp.sum(diff * diff, axis=-1)
+            # (rank - span_start) in [0, S) mirrors the candidate pass's
+            # span test exactly (same searchsorted-derived starts), so
+            # float-boundary pairs are treated consistently in both passes
+            included = (
+                emask
+                & (dist2 <= r_e * r_e)
+                & (rank >= span_start)
+                & (rank < span_start + bucket.span)
+                & (colors[esrc] != colors[edst])
+            )
+            force, loss, count, zero_count = _subtract_edge_pairs(
+                force, loss, count, zero_count,
+                esrc, edst, diff, dist2, included, inv_w, opts, L2, n,
+            )
+
+    # ---- heavy queries: exact dense rows against every vertex
+    H = index.heavy_ids.shape[0]
+    if H > 0:
+        hids_full = jnp.asarray(index.heavy_ids)
+        bucket_max_of = jnp.asarray(index.bucket_max_of, dtype)
+        if num_shards > 1:
+            h_per = -(-H // num_shards)
+            hrows = shard_idx * h_per + jnp.arange(h_per)
+            h_valid = hrows < H
+            hids = hids_full[jnp.minimum(hrows, H - 1)]
+        else:
+            hids = hids_full
+            h_valid = jnp.ones((H,), bool)
+        hpos = positions[hids]  # (H_local, d)
+        diff = hpos[:, None, :] - positions[None, :, :]  # (H_local, n, d)
         dist2 = jnp.sum(diff * diff, axis=-1)
-        # (rank - span_start) in [0, S) mirrors the candidate pass's span
-        # exactly (same searchsorted-derived starts), so float-boundary
-        # pairs are treated consistently in both passes
-        included = (
-            emask
-            & (dist2 <= r_e * r_e)
-            & (rank >= span_start)
-            & (rank < span_start + bucket.span)
-            & (colors[esrc] != colors[edst])
+        # candidate radius depends on the TARGET's bucket (conservative
+        # per-class radius, WeightedIndex.cpp:65-81)
+        r_hn = (
+            L * jnp.power(weights[hids][:, None] * bucket_max_of[None, :], inv_d)
+        ).astype(dtype)
+        valid = (
+            (dist2 <= r_hn * r_hn)
+            & (colors[hids][:, None] != colors[None, :])
+            & h_valid[:, None]
         )
-        ws = _weight_scaling(inv_w[esrc], inv_w[edst], opts.additive_weights)
+        if in_index is not None:
+            valid &= in_index[None, :]
+        ws = _weight_scaling(
+            inv_w[hids][:, None], inv_w[None, :], opts.additive_weights
+        )
         pos_dist2 = dist2 > 0
-        active = included & (dist2 * ws * ws <= L2) & pos_dist2
+        active = valid & (dist2 * ws * ws <= L2) & pos_dist2
         inv_dist = lax.rsqrt(jnp.maximum(dist2, jnp.asarray(1e-30, dtype)))
-        coeff = jnp.where(active, opts.repulsion_scale * ws * inv_dist, 0.0)
-        force = force - jax.ops.segment_sum(
-            coeff[:, None].astype(dtype) * diff, esrc, num_segments=n
-        )
-        loss -= jnp.sum(
+        coeff = jnp.where(active, opts.repulsion_scale * ws * inv_dist, 0.0).astype(dtype)
+        f_h = jnp.einsum("hn,hnd->hd", coeff, diff)
+        force = force.at[hids].add(jnp.where(h_valid[:, None], f_h, 0.0))
+        loss += jnp.sum(
             jnp.where(active, L / ws - jnp.sqrt(dist2), 0.0), dtype=jnp.float32
         )
-        count -= jnp.sum(included, dtype=jnp.int32)
-        zero_count -= jax.ops.segment_sum(
-            (included & ~pos_dist2).astype(jnp.int32), esrc, num_segments=n
+        count += jnp.sum(valid, dtype=jnp.int32)
+        zero_count = zero_count.at[hids].add(
+            jnp.where(h_valid, jnp.sum(valid & ~pos_dist2, axis=1, dtype=jnp.int32), 0)
         )
 
-    def with_kicks(f):
-        kicks = random_unit_vectors(kick_key, (n,), d, dtype)
-        return f + kicks * zero_count[:, None].astype(dtype)
+        # correction for heavy-src edges: same dense candidate condition
+        if index.heavy_edge_src.shape[0] > 0:
+            esrc = jnp.asarray(index.heavy_edge_src)
+            edst = jnp.asarray(index.heavy_edge_dst)
+            emask = jnp.asarray(index.heavy_edge_mask)
+            if num_shards > 1:
+                esrc, edst, emask = _shard_edge_group(
+                    esrc, edst, emask, shard_idx, num_shards
+                )
+            diff_e = positions[esrc] - positions[edst]
+            dist2_e = jnp.sum(diff_e * diff_e, axis=-1)
+            r_e = (
+                L * jnp.power(weights[esrc] * bucket_max_of[edst], inv_d)
+            ).astype(dtype)
+            included = emask & (dist2_e <= r_e * r_e) & (
+                colors[esrc] != colors[edst]
+            )
+            if in_index is not None:
+                included &= in_index[edst]
+            force, loss, count, zero_count = _subtract_edge_pairs(
+                force, loss, count, zero_count,
+                esrc, edst, diff_e, dist2_e, included, inv_w, opts, L2, n,
+            )
 
-    force = lax.cond(jnp.any(zero_count > 0), with_kicks, lambda f: f, force)
-    return force, loss, count, overflow
+    return force, loss, count, overflow, zero_count
+
+
+def _shard_edge_group(esrc, edst, emask, shard_idx, num_shards):
+    """Contiguous per-device slice of a padded edge group (mask-guarded, so
+    group lengths need not divide the shard count)."""
+    e_pad = esrc.shape[0]
+    per = -(-e_pad // num_shards)
+    rows = shard_idx * per + jnp.arange(per)
+    valid = rows < e_pad
+    eidx = jnp.minimum(rows, e_pad - 1)
+    return esrc[eidx], edst[eidx], emask[eidx] & valid
+
+
+def _subtract_edge_pairs(
+    force, loss, count, zero_count,
+    esrc, edst, diff, dist2, included, inv_w, opts, L2, n,
+):
+    """Remove the repulsion contributions of ``included`` directed edges
+    (they are graph neighbors and must not repel,
+    NewWEmbedEmbedder.cpp:328).  The arithmetic mirrors the candidate
+    passes so the subtraction cancels exactly."""
+    dtype = force.dtype
+    L = opts.edge_length
+    ws = _weight_scaling(inv_w[esrc], inv_w[edst], opts.additive_weights)
+    pos_dist2 = dist2 > 0
+    active = included & (dist2 * ws * ws <= L2) & pos_dist2
+    inv_dist = lax.rsqrt(jnp.maximum(dist2, jnp.asarray(1e-30, dtype)))
+    coeff = jnp.where(active, opts.repulsion_scale * ws * inv_dist, 0.0)
+    force = force - jax.ops.segment_sum(
+        coeff[:, None].astype(dtype) * diff, esrc, num_segments=n
+    )
+    loss -= jnp.sum(
+        jnp.where(active, L / ws - jnp.sqrt(dist2), 0.0), dtype=jnp.float32
+    )
+    count -= jnp.sum(included, dtype=jnp.int32)
+    zero_count = zero_count - jax.ops.segment_sum(
+        (included & ~pos_dist2).astype(jnp.int32), esrc, num_segments=n
+    )
+    return force, loss, count, zero_count

@@ -90,14 +90,40 @@ class WEmbedEmbedder:
         self._inv_w = jnp.asarray(
             weights_mod.inv_exp_weights(w, d), dtype=self._dtype
         )
+        self._span_scale = 1.0
+        self._rebuild_step()
+
+    def _rebuild_step(self) -> None:
         self._index = None
         mode = self.opts.resolve_repulsion_mode(self.graph.num_vertices)
         if self.opts.num_negative_samples < 0 and mode is RepulsionMode.BUCKET:
             self._index = cand_mod.BucketIndex.build(
-                w, self.opts, self.graph.edge_src, self.graph.col_idx
+                self._weights_np,
+                self.opts,
+                self.graph.edge_src,
+                self.graph.col_idx,
+                span_scale=self._span_scale,
             )
         self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)
         self._jitted_step = jax.jit(self._step_fn)
+
+    def _grow_spans(self) -> bool:
+        """Double candidate spans (up to a cap); returns True if grown.
+
+        The reference's exact radius index can never truncate; spans that
+        truncated at convergence are doubled and the embedding continues
+        from the current state, so the FINAL state always reflects the
+        full candidate set (overflow == 0) or spans already cover whole
+        buckets."""
+        if self._index is None or self._span_scale >= 1024:
+            return False
+        if all(
+            b.span >= b.sample_size for b in self._index.buckets
+        ):
+            return False  # spans already cover every bucket entirely
+        self._span_scale *= 2.0
+        self._rebuild_step()
+        return True
 
     # ------------------------------------------------------------ embedding
     def calculate_step(self) -> None:
@@ -136,15 +162,32 @@ class WEmbedEmbedder:
             )
             return
         with self.timer.phase("embedding_all", "Embedding"):
-            self._state = step_mod.run_embedding(
-                self._step_fn,
-                self._state,
-                self._weights,
-                self._inv_w,
-                self.opts.max_iterations,
-                self.opts.position_min_change,
-            )
-            self._state.positions.block_until_ready()
+            while True:
+                self._state = step_mod.run_embedding(
+                    self._step_fn,
+                    self._state,
+                    self._weights,
+                    self._inv_w,
+                    self.opts.max_iterations,
+                    self.opts.position_min_change,
+                )
+                self._state.positions.block_until_ready()
+                # candidate spans truncated at convergence => grow spans and
+                # keep refining from the current state (the reference's
+                # exact index never truncates)
+                if int(self._state.iteration) >= self.opts.max_iterations:
+                    break
+                if int(self._state.overflow) == 0 or not self._grow_spans():
+                    break
+                if self.verbose:
+                    print(
+                        f"(growing candidate spans to x{self._span_scale:g} "
+                        f"after overflow {int(self._state.overflow)})"
+                    )
+                # force at least one more step under the new spans
+                self._state = self._state._replace(
+                    pos_change=jnp.asarray(jnp.inf, jnp.float32)
+                )
 
     # ------------------------------------------------------------- accessors
     @property

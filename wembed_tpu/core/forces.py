@@ -53,6 +53,7 @@ def attraction_forces(
     dg: DeviceGraph,
     opts: EmbedderOptions,
     key: jax.Array,
+    shard: tuple[str, int] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Edge-gradient SDDMM + segment-sum scatter.
 
@@ -60,9 +61,24 @@ def attraction_forces(
     stored in both directions, so the per-directed-edge contribution
     accumulates into its source row only — race-free by construction, like
     the reference's loop-owned writes (NewWEmbedEmbedder.cpp:217).
+
+    With ``shard=(axis_name, P)`` (inside shard_map), each device processes
+    its contiguous slice of the padded edge array and returns a PARTIAL
+    force/loss for the caller to psum.  The edge padding must be a multiple
+    of P (DeviceGraph.build pad_multiple).
     """
     dtype = positions.dtype
     src, dst, mask = dg.edge_src, dg.edge_dst, dg.edge_mask
+    if shard is not None:
+        axis_name, P = shard
+        e_pad = src.shape[0]
+        per = -(-e_pad // P)
+        rows = lax.axis_index(axis_name) * per + jnp.arange(per)
+        valid = rows < e_pad
+        eidx = jnp.minimum(rows, e_pad - 1)
+        src = src[eidx]
+        dst = dst[eidx]
+        mask = mask[eidx] & valid
     pv = positions[src]
     pu = positions[dst]
     diff = pu - pv  # attraction pulls v toward u
@@ -101,44 +117,58 @@ def dense_repulsion_forces(
     adjacency: jax.Array,  # (n, n) bool, True where an edge exists
     colors: jax.Array,
     opts: EmbedderOptions,
-    key: jax.Array,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    shard: tuple[str, int] | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Exact all-pairs repulsion in row blocks of two MXU matmuls each.
 
     This computes the reference's ideal candidate set (every pair whose
     weighted distance is within edgeLength repels; the spatial index merely
     approximates this superset-then-filter, WeightedIndex.cpp:65-81).
-    Returns (force (n, d), repel_loss, num_rep_pairs).
+    Returns (force (n, d), repel_loss, num_rep_pairs, zero_count (n,)) —
+    the caller applies the coincident-point kicks from ``zero_count``.
+
+    With ``shard=(axis_name, P)`` each device computes its contiguous row
+    range; all outputs are PARTIAL and must be psummed by the caller.
     """
     n, d = positions.shape
     dtype = positions.dtype
     L = opts.edge_length
-    block = min(opts.block_size, n)
+
+    if shard is not None:
+        axis_name, P = shard
+        rows_per = -(-n // P)
+        row_off = lax.axis_index(axis_name) * rows_per
+    else:
+        rows_per = n
+        row_off = 0
+    block = min(opts.block_size, rows_per)
 
     sq = jnp.sum(positions * positions, axis=-1)  # (n,)
     force = jnp.zeros_like(positions)
     loss = jnp.asarray(0.0, jnp.float32)
     count = jnp.asarray(0, jnp.int32)
-    any_zero_rows = []
+    zero_count = jnp.zeros((n,), jnp.int32)
+    all_ids = jnp.arange(n)
 
-    for start in range(0, n, block):
-        stop = min(start + block, n)
-        rows = slice(start, stop)
-        x = positions[rows]  # (B, d)
+    for start in range(0, rows_per, block):
+        rows = row_off + start + jnp.arange(min(block, rows_per - start))
+        row_valid = rows < n
+        rid = jnp.minimum(rows, n - 1)
+        x = positions[rid]  # (B, d)
         gram = x @ positions.T  # (B, n) — MXU
-        dist2 = sq[rows, None] + sq[None, :] - 2.0 * gram
+        dist2 = sq[rid][:, None] + sq[None, :] - 2.0 * gram
         dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
         ws = _weight_scaling(
-            inv_w[rows, None], inv_w[None, :], opts.additive_weights
+            inv_w[rid][:, None], inv_w[None, :], opts.additive_weights
         )
-        row_ids = jnp.arange(start, stop)
         valid = (
-            ~adjacency[rows]
-            & (colors[rows, None] != colors[None, :])
+            ~adjacency[rid]
+            & (colors[rid][:, None] != colors[None, :])
+            & row_valid[:, None]
         )
         # colors default to unique ids, so same-color covers u == v; guard
         # the diagonal anyway for caller-supplied colorings
-        valid &= row_ids[:, None] != jnp.arange(n)[None, :]
+        valid &= rid[:, None] != all_ids[None, :]
 
         in_range = (dist * ws <= L) & valid
         active = in_range & (dist > 0)
@@ -146,19 +176,18 @@ def dense_repulsion_forces(
         # F_v = sum_u coeff * (pos_v - pos_u) = pos_v * rowsum - coeff @ pos
         rowsum = jnp.sum(coeff, axis=1)
         fblock = x * rowsum[:, None] - coeff @ positions  # MXU
-        force = force.at[rows].add(fblock)
+        force = force.at[rid].add(jnp.where(row_valid[:, None], fblock, 0.0))
         loss += jnp.sum(jnp.where(active, L / ws - dist, 0.0), dtype=jnp.float32)
         count += jnp.sum(in_range, dtype=jnp.int32)
-        any_zero_rows.append(((dist <= 0) & valid).sum(axis=1))
+        zero_count = zero_count.at[rid].add(
+            jnp.where(
+                row_valid,
+                jnp.sum((dist <= 0) & valid, axis=1, dtype=jnp.int32),
+                0,
+            )
+        )
 
-    zero_counts = jnp.concatenate(any_zero_rows)  # (n,) coincident partners
-
-    def with_kicks(f):
-        kicks = random_unit_vectors(key, (n,), d, dtype)
-        return f + kicks * zero_counts[:, None].astype(dtype)
-
-    force = lax.cond(jnp.any(zero_counts > 0), with_kicks, lambda f: f, force)
-    return force, loss, count
+    return force, loss, count, zero_count
 
 
 def build_dense_adjacency(dg: DeviceGraph) -> jax.Array:
@@ -185,47 +214,63 @@ def sampled_repulsion_forces(
     dg: DeviceGraph,
     opts: EmbedderOptions,
     key: jax.Array,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    shard: tuple[str, int] | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Random-negative-sample repulsion (numNegativeSamples > 0 path,
     reference NewWEmbedEmbedder.cpp:250-252,292-295).
 
     Each vertex repels ``k`` uniformly sampled vertices, forces scaled by
     n/k.  Deviation from the reference (documented): sampling is with
     replacement (the reference uses Floyd's without-replacement sampling);
-    indistinguishable for k << n.
+    indistinguishable for k << n.  Returns (force, loss, count,
+    zero_count); kicks are applied by the caller.  With ``shard`` each
+    device handles its row range (partial outputs; caller psums).
     """
     n, d = positions.shape
     dtype = positions.dtype
     k = min(int(opts.num_negative_samples), n)
     L = opts.edge_length
-    kick_key, sample_key = jax.random.split(key)
 
-    cand = jax.random.randint(sample_key, (n, k), 0, n)
-    cpos = positions[cand]  # (n, k, d)
-    diff = positions[:, None, :] - cpos
+    if shard is not None:
+        axis_name, P = shard
+        rows_per = -(-n // P)
+        row_off = lax.axis_index(axis_name) * rows_per
+        key = jax.random.fold_in(key, lax.axis_index(axis_name))
+    else:
+        rows_per = n
+        row_off = 0
+
+    rows = row_off + jnp.arange(rows_per)
+    row_valid = rows < n
+    rid = jnp.minimum(rows, n - 1)
+
+    cand = jax.random.randint(key, (rows_per, k), 0, n)
+    cpos = positions[cand]  # (R, k, d)
+    diff = positions[rid][:, None, :] - cpos
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-    ws = _weight_scaling(inv_w[:, None], inv_w[cand], opts.additive_weights)
+    ws = _weight_scaling(inv_w[rid][:, None], inv_w[cand], opts.additive_weights)
 
-    row_ids = jnp.arange(n)[:, None]
-    is_nbr = _edge_membership(dg, row_ids, cand)
-    valid = (dg.colors[row_ids] != dg.colors[cand]) & ~is_nbr
+    is_nbr = _edge_membership(dg, rid[:, None], cand)
+    valid = (
+        (dg.colors[rid][:, None] != dg.colors[cand])
+        & ~is_nbr
+        & row_valid[:, None]
+    )
 
     scale = float(n) / float(k)
     in_range = (dist * ws <= L) & valid
     active = in_range & (dist > 0)
     coeff = jnp.where(active, opts.repulsion_scale * ws * scale / dist, 0.0)
-    force = jnp.sum(coeff[..., None].astype(dtype) * diff, axis=1)
+    f_rows = jnp.sum(coeff[..., None].astype(dtype) * diff, axis=1)
+    force = jnp.zeros_like(positions).at[rid].add(
+        jnp.where(row_valid[:, None], f_rows, 0.0)
+    )
     loss = jnp.sum(jnp.where(active, L / ws - dist, 0.0), dtype=jnp.float32)
     count = jnp.sum(valid, dtype=jnp.int32)
-
-    zero = (dist <= 0) & valid
-
-    def with_kicks(f):
-        kicks = random_unit_vectors(kick_key, (n,), d, dtype)
-        return f + kicks * jnp.sum(zero, axis=1)[:, None].astype(dtype)
-
-    force = lax.cond(jnp.any(zero), with_kicks, lambda f: f, force)
-    return force, loss, count
+    zero_count = jnp.zeros((n,), jnp.int32).at[rid].add(
+        jnp.where(row_valid, jnp.sum((dist <= 0) & valid, axis=1, dtype=jnp.int32), 0)
+    )
+    return force, loss, count, zero_count
 
 
 def _edge_membership(dg: DeviceGraph, src_ids, dst_ids) -> jax.Array:

@@ -7,10 +7,15 @@ One pure function reproduces NewWEmbedEmbedder::calculateStep
   gravity recenter -> mean-squared-displacement convergence metric
 
 ``build_step`` closes over the static graph/index structure and returns a
-jitted ``step(state, weights, inv_w) -> state`` plus a device-side
-``run(state, ...)`` that wraps it in ``lax.while_loop`` so a full
-``calculateEmbedding`` executes with zero per-iteration host round-trips
-(BASELINE.json north star).
+``step(state, weights, inv_w) -> state`` plus a device-side ``run`` that
+wraps it in ``lax.while_loop`` so a full ``calculateEmbedding`` executes
+with zero per-iteration host round-trips (BASELINE.json north star).
+
+With ``shard=(axis_name, P)`` the step is meant to run inside
+``shard_map`` over a P-device mesh: every force pass computes a partial
+contribution on its slice of the work (edge ranges, query blocks, dense
+rows), a single ``psum`` reduces them, and the (replicated) optimizer
+update proceeds identically on every device.
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ def build_step(
     dg: DeviceGraph,
     opts: EmbedderOptions,
     index: cand_mod.BucketIndex | None,
+    shard: tuple[str, int] | None = None,
 ) -> Callable[[EmbedState, jax.Array, jax.Array], EmbedState]:
     """Compile-ready step closure for a fixed graph + bucket skeleton.
 
@@ -49,11 +55,12 @@ def build_step(
     def step(state: EmbedState, weights: jax.Array, inv_w: jax.Array) -> EmbedState:
         # graphSize() <= 1 short-circuits (NewWEmbedEmbedder.cpp:25-28):
         # handled host-side in the embedder, where n is static.
-        key, att_key, rep_key = jax.random.split(state.key, 3)
+        key, att_key, rep_key, kick_key = jax.random.split(state.key, 4)
+
         old_positions = state.positions
 
         force, att_loss = forces.attraction_forces(
-            state.positions, inv_w, dg, opts, att_key
+            state.positions, inv_w, dg, opts, att_key, shard=shard
         )
 
         overflow = jnp.asarray(0, jnp.int32)
@@ -62,21 +69,47 @@ def build_step(
                 rep_force = jnp.zeros_like(force)
                 rep_loss = jnp.asarray(0.0, jnp.float32)
                 rep_count = jnp.asarray(0, jnp.int32)
+                zero_count = jnp.zeros((dg.n,), jnp.int32)
             else:
-                rep_force, rep_loss, rep_count = forces.sampled_repulsion_forces(
-                    state.positions, inv_w, dg, opts, rep_key
+                rep_force, rep_loss, rep_count, zero_count = (
+                    forces.sampled_repulsion_forces(
+                        state.positions, inv_w, dg, opts, rep_key, shard=shard
+                    )
                 )
         elif mode is RepulsionMode.DENSE:
-            rep_force, rep_loss, rep_count = forces.dense_repulsion_forces(
-                state.positions, inv_w, dense_adj, dg.colors, opts, rep_key
+            rep_force, rep_loss, rep_count, zero_count = (
+                forces.dense_repulsion_forces(
+                    state.positions, inv_w, dense_adj, dg.colors, opts, shard=shard
+                )
             )
         else:
-            rep_force, rep_loss, rep_count, overflow = (
+            rep_force, rep_loss, rep_count, overflow, zero_count = (
                 cand_mod.bucket_repulsion_forces(
-                    state.positions, inv_w, weights, dg, index, opts, rep_key
+                    state.positions, inv_w, weights, dg, index, opts, rep_key,
+                    shard=shard,
                 )
             )
         force = force + rep_force
+
+        if shard is not None:
+            axis_name = shard[0]
+            force, att_loss, rep_loss, rep_count, overflow, zero_count = (
+                lax.psum(
+                    (force, att_loss, rep_loss, rep_count, overflow, zero_count),
+                    axis_name,
+                )
+            )
+
+        # coincident-point kicks (NewWEmbedEmbedder.cpp:229-233), applied
+        # once after the cross-device reduction; the RNG branch only pays
+        # when a coincidence actually occurred
+        def with_kicks(f):
+            kicks = forces.random_unit_vectors(
+                kick_key, (dg.n,), state.positions.shape[1], state.positions.dtype
+            )
+            return f + kicks * zero_count[:, None].astype(state.positions.dtype)
+
+        force = lax.cond(jnp.any(zero_count > 0), with_kicks, lambda f: f, force)
 
         if opts.centre_scale != 0.0:
             force = force + forces.centre_forces(state.positions, opts)

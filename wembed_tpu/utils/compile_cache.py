@@ -15,6 +15,12 @@ import os
 def enable_default_compile_cache() -> None:
     if os.environ.get("WEMBED_TPU_NO_COMPILE_CACHE"):
         return
+    # Only cache for TPU backends: the remote TPU compile service is the
+    # slow path worth caching, while cached XLA:CPU AOT artifacts encode
+    # machine features of the compile host and can SIGILL elsewhere.
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if not any(p in platforms for p in ("tpu", "axon")):
+        return
     import jax
 
     if jax.config.jax_compilation_cache_dir:
