@@ -1,0 +1,157 @@
+"""CLI, drawing, checkpoint, and parser tests."""
+
+import numpy as np
+import pytest
+
+from wembed_tpu.cli import embed as cli_embed
+from wembed_tpu.cli import evaluate as cli_evaluate
+from wembed_tpu.cli import generate as cli_generate
+from wembed_tpu.core import EmbedderOptions, WEmbedEmbedder
+from wembed_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from wembed_tpu.draw import write_ipe, write_svg
+from wembed_tpu.eval.parsers import parse_csv_config, parse_time_file, parse_wembed_log
+from wembed_tpu.graphs import generators, io
+from wembed_tpu.utils import Timer, set_seed, timings_to_string
+
+
+def test_cli_embed_end_to_end(tmp_path):
+    out = tmp_path / "emb.csv"
+    rc = cli_embed.main(
+        [
+            "-i", "assets/small_graph.edg",
+            "-o", str(out),
+            "--dim", "2",
+            "--iterations", "30",
+            "--seed", "5",
+            "--timings",
+        ]
+    )
+    assert rc == 0
+    coords = io.read_coordinates(str(out))
+    assert coords.shape == (5, 3)  # 2 dims + weight
+
+
+def test_cli_embed_init_coordinates(tmp_path):
+    emb_a = tmp_path / "a.csv"
+    cli_embed.main(
+        ["-i", "assets/small_graph.edg", "-o", str(emb_a), "--dim", "2",
+         "--iterations", "10", "--seed", "1"]
+    )
+    emb_b = tmp_path / "b.csv"
+    rc = cli_embed.main(
+        ["-i", "assets/small_graph.edg", "-o", str(emb_b), "--dim", "2",
+         "--iterations", "5", "--init-coordinates", str(emb_a)]
+    )
+    assert rc == 0
+
+
+def test_cli_embed_layered(tmp_path):
+    out = tmp_path / "lay.csv"
+    rc = cli_embed.main(
+        ["-i", "assets/small_graph.edg", "-o", str(out), "--dim", "2",
+         "--iterations", "20", "--layered", "--seed", "2"]
+    )
+    assert rc == 0
+
+
+def test_cli_generate_and_evaluate(tmp_path, capsys):
+    edg = tmp_path / "g.edg"
+    coords = tmp_path / "g.csv"
+    rc = cli_generate.main(
+        ["-o", str(edg), "-w", str(coords), "-n", "400", "--avg-deg", "8",
+         "--seed", "3", "-t", "0"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli_evaluate.main(
+        ["-g", str(edg), "-e", str(coords), "--emb-type", "0",
+         "--node-samples", "50", "--seed", "4"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    header, values = out[0].split(","), out[1].split(",")
+    assert header[-5:] == ["constructDeg", "MAP", "precision", "recall", "edgeF1"]
+    m = dict(zip(header, values))
+    # true GIRG coordinates+weights should reconstruct well
+    assert float(m["MAP"]) > 0.5
+    assert float(m["edgeF1"]) > 0.5
+
+
+def test_cli_evaluate_header_only(tmp_path, capsys):
+    edg = tmp_path / "g.edg"
+    coords = tmp_path / "g.csv"
+    cli_generate.main(["-o", str(edg), "-w", str(coords), "-n", "100", "--seed", "3"])
+    capsys.readouterr()
+    rc = cli_evaluate.main(
+        ["-g", str(edg), "-e", str(coords), "--header-only"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+
+
+def test_svg_and_ipe_writers(tmp_path):
+    rng = np.random.default_rng(0)
+    g, coords = generators.geometric_graph(100, rng=rng)
+    svg = tmp_path / "g.svg"
+    write_svg(str(svg), g, coords, weights=np.ones(g.num_vertices))
+    text = svg.read_text()
+    assert text.startswith("<svg")
+    assert text.count("<circle") == g.num_vertices
+    assert text.count("<line") == g.num_edges
+
+    ipe = tmp_path / "g.ipe"
+    write_ipe(str(ipe), g, coords)
+    t = ipe.read_text()
+    assert "<ipe" in t and t.count("<use") == g.num_vertices
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    set_seed(13)
+    g, _ = generators.geometric_graph(80, rng=np.random.default_rng(1))
+    opts = EmbedderOptions(embedding_dimension=2, max_iterations=50,
+                           position_min_change=0.0)
+    emb = WEmbedEmbedder(g, opts, verbose=False)
+    for _ in range(5):
+        emb.calculate_step()
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, emb)
+
+    set_seed(13)
+    emb2 = WEmbedEmbedder(g, opts, verbose=False)
+    load_checkpoint(path, emb2)
+    # continued trajectories must match bit-for-bit
+    for _ in range(3):
+        emb.calculate_step()
+        emb2.calculate_step()
+    np.testing.assert_array_equal(emb.get_coordinates(), emb2.get_coordinates())
+    assert emb2.iteration == emb.iteration
+
+
+def test_parsers(tmp_path):
+    log = tmp_path / "run.log"
+    log.write_text("noise\n> learningRate=10\n> dimension(default)=4\n")
+    cfg = parse_wembed_log(str(log))
+    assert cfg == {"learningRate": "10", "dimension": "4"}
+
+    csvf = tmp_path / "cfg.csv"
+    csvf.write_text("a,b\n1,2\n")
+    assert parse_csv_config(str(csvf)) == {"a": "1", "b": "2"}
+
+    tf = tmp_path / "time.txt"
+    tf.write_text("12.5\n")
+    assert parse_time_file(str(tf)) == "12.5"
+
+
+def test_timer_tree():
+    t = Timer()
+    with t.phase("a", "Phase A"):
+        with t.phase("b", "Phase B"):
+            pass
+        with t.phase("b", "Phase B"):
+            pass
+    res = t.results()
+    assert [r.display_name for r in res] == ["Phase A", "Phase B"]
+    assert [r.depth for r in res] == [0, 1]
+    assert "Phase A" in timings_to_string(res)
