@@ -143,7 +143,6 @@ def dense_repulsion_forces(
         row_off = 0
     block = min(opts.block_size, rows_per)
 
-    sq = jnp.sum(positions * positions, axis=-1)  # (n,)
     force = jnp.zeros_like(positions)
     loss = jnp.asarray(0.0, jnp.float32)
     count = jnp.asarray(0, jnp.int32)
@@ -155,9 +154,14 @@ def dense_repulsion_forces(
         row_valid = rows < n
         rid = jnp.minimum(rows, n - 1)
         x = positions[rid]  # (B, d)
-        gram = x @ positions.T  # (B, n) — MXU
-        dist2 = sq[rid][:, None] + sq[None, :] - 2.0 * gram
-        dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+        # dist^2 from explicit per-dimension differences: the gram form
+        # |a|^2+|b|^2-2<a,b> loses ~|p|^2*eps to cancellation, enough to flip
+        # dead-zone decisions and fabricate zero distances for close pairs
+        dist2 = jnp.zeros((x.shape[0], n), dtype)
+        for k in range(d):
+            diff_k = x[:, k][:, None] - positions[:, k][None, :]
+            dist2 += diff_k * diff_k
+        dist = jnp.sqrt(dist2)
         ws = _weight_scaling(
             inv_w[rid][:, None], inv_w[None, :], opts.additive_weights
         )

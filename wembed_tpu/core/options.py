@@ -71,9 +71,14 @@ class EmbedderOptions:
     # ---- TPU execution knobs (no reference counterpart)
     dtype: str = "float32"  # positions/forces dtype; "float64" for parity runs
     repulsion_mode: RepulsionMode = RepulsionMode.AUTO
-    dense_threshold: int = 8192  # AUTO switches to BUCKET above this
+    dense_threshold: int = 16384  # AUTO switches to BUCKET above this
     window_capacity: int = 48  # per-bucket candidate window size
     block_size: int = 1024  # row-block size for chunked dense repulsion
+    # fused Pallas force kernel (attraction+repulsion in one all-pairs pass):
+    # "auto" = on TPU backends for the unsharded f32 dense mode,
+    # "on"/"off" force it, "interpret" runs the kernel in interpreter mode
+    # (CPU-testable, slow)
+    fused_dense: str = "auto"
 
     def resolve_repulsion_mode(self, n: int) -> RepulsionMode:
         if self.num_negative_samples >= 0:

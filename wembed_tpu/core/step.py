@@ -29,9 +29,41 @@ from jax import lax
 
 from . import candidates as cand_mod
 from . import forces
+from ..kernels import fused_dense as fused_mod
 from .optim import AdamParams, adam_update
 from .options import EmbedderOptions, RepulsionMode
 from .state import DeviceGraph, EmbedState
+
+
+def _tpu_backend() -> bool:
+    try:
+        if jax.default_backend() in ("tpu", "axon"):
+            return True
+        return "tpu" in str(jax.devices()[0]).lower()
+    except Exception:
+        return False
+
+
+def resolve_fused(dg: DeviceGraph, opts: EmbedderOptions, shard) -> str | None:
+    """Whether the step should use the fused Pallas force kernel.
+
+    Returns None (off), "compiled", or "interpret".  Auto mode requires:
+    dense repulsion, no negative sampling, unsharded, f32, TPU backend.
+    """
+    mode = opts.resolve_repulsion_mode(dg.n)
+    applicable = (
+        mode is RepulsionMode.DENSE
+        and opts.num_negative_samples < 0
+        and shard is None
+        and opts.dtype == "float32"
+    )
+    if opts.fused_dense == "off" or not applicable:
+        return None
+    if opts.fused_dense == "interpret":
+        return "interpret"
+    if opts.fused_dense == "on":
+        return "compiled"
+    return "compiled" if _tpu_backend() else None
 
 
 def build_step(
@@ -47,10 +79,91 @@ def build_step(
     """
     mode = opts.resolve_repulsion_mode(dg.n)
     use_sampling = opts.num_negative_samples >= 0
+    fused = resolve_fused(dg, opts, shard)
     dense_adj = None
-    if not use_sampling and mode is RepulsionMode.DENSE:
+    adj_bytes = None
+    colors_pad = None
+    n_pad = 0
+    if fused is not None:
+        n_pad = fused_mod._round_up(max(dg.n, 256), 256)
+        # built on DEVICE from the (already resident) edge list — an n^2
+        # host build + transfer would dominate embedder construction.
+        # Padding edges scatter max(..., 0): a no-op wherever they land.
+        adj_bytes = (
+            jnp.zeros((n_pad, n_pad), jnp.uint8)
+            .at[dg.edge_src, dg.edge_dst]
+            .max(dg.edge_mask.astype(jnp.uint8))
+        )
+        colors_pad = (
+            jnp.full((n_pad,), -1, jnp.int32).at[: dg.n].set(dg.colors)
+        )
+    elif not use_sampling and mode is RepulsionMode.DENSE:
         dense_adj = forces.build_dense_adjacency(dg)
     hp = AdamParams(opts.learning_rate, opts.cooling_factor)
+
+    def fused_step(
+        state: EmbedState, weights: jax.Array, inv_w: jax.Array
+    ) -> EmbedState:
+        """Whole force pass (attraction + repulsion + losses + kick counts)
+        in one Pallas kernel; optimizer/gravity identical to the jnp path."""
+        key, kick_key = jax.random.split(state.key, 2)
+        old_positions = state.positions
+        n, d = old_positions.shape
+
+        pos_pad = (
+            jnp.zeros((n_pad, fused_mod.DPAD), jnp.float32)
+            .at[:n, :d]
+            .set(old_positions)
+        )
+        invw_pad = jnp.ones((n_pad,), jnp.float32).at[:n].set(inv_w)
+        force_pad, zero_f, att_loss, rep_loss, rep_count = (
+            fused_mod.fused_dense_forces(
+                pos_pad,
+                invw_pad,
+                colors_pad,
+                adj_bytes,
+                n=dg.n,
+                dim=d,
+                L=opts.edge_length,
+                att_scale=opts.attraction_scale,
+                rep_scale=opts.repulsion_scale,
+                additive=opts.additive_weights,
+                interpret=(fused == "interpret"),
+            )
+        )
+        force = force_pad[:n, :d]
+        zero_count = zero_f[:n].astype(jnp.int32)
+
+        def with_kicks(f):
+            kicks = forces.random_unit_vectors(kick_key, (n,), d, f.dtype)
+            return f + kicks * zero_count[:, None].astype(f.dtype)
+
+        force = lax.cond(jnp.any(zero_count > 0), with_kicks, lambda f: f, force)
+
+        if opts.centre_scale != 0.0:
+            force = force + forces.centre_forces(old_positions, opts)
+
+        t = state.iteration + 1
+        positions, m, v = adam_update(
+            old_positions, force, state.adam_m, state.adam_v, t, hp
+        )
+        positions = forces.apply_gravity_centre(positions)
+        pos_change = forces.mean_squared_displacement(old_positions, positions)
+        return EmbedState(
+            positions=positions,
+            adam_m=m,
+            adam_v=v,
+            iteration=t,
+            key=key,
+            attract_loss=att_loss,
+            repel_loss=rep_loss,
+            pos_change=pos_change,
+            num_rep_forces=rep_count,
+            overflow=jnp.asarray(0, jnp.int32),
+        )
+
+    if fused is not None:
+        return fused_step
 
     def step(state: EmbedState, weights: jax.Array, inv_w: jax.Array) -> EmbedState:
         # graphSize() <= 1 short-circuits (NewWEmbedEmbedder.cpp:25-28):
