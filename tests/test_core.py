@@ -315,3 +315,52 @@ def test_set_coordinates_resume():
     np.testing.assert_array_equal(emb.get_coordinates(), target)
     emb.calculate_embedding()
     assert np.isfinite(emb.get_coordinates()).all()
+
+
+def test_simple_optimizer():
+    """OptimizerType.SIMPLE: clip to +-1 then lr*cooling^t ascent
+    (reference SimpleOptimizer.cpp:17-41)."""
+    from wembed_tpu.core.options import OptimizerType
+
+    set_seed(13)
+    g = _small_graph()
+    rng = np.random.default_rng(13)
+    coords = rng.uniform(0, 5**0.5, size=(5, 2))
+    opts = EmbedderOptions(
+        embedding_dimension=2,
+        dtype="float64",
+        optimizer_type=OptimizerType.SIMPLE,
+        repulsion_mode=RepulsionMode.DENSE,
+        max_iterations=3,
+    )
+    w = weights_mod.initial_weights(g, opts)
+    emb = _embedder(g, opts, coords, w)
+    emb.calculate_step()
+    # one step: |pre-gravity displacement per coordinate| <= lr * cooling
+    # (gravity recentering then shifts all rows by the same vector, which
+    # cancels in row differences)
+    delta = emb.get_coordinates() - coords
+    delta_rel = delta - delta.mean(axis=0)
+    bound = opts.learning_rate * opts.cooling_factor + 1e-9
+    assert np.all(np.abs(delta_rel) <= 2 * bound)
+    # Adam moments untouched
+    assert float(jnp.abs(emb.state.adam_m).sum()) == 0.0
+    assert float(jnp.abs(emb.state.adam_v).sum()) == 0.0
+
+
+def test_dump_weights(tmp_path, monkeypatch):
+    """dump_weights appends one weight row per iteration to weight_dump.txt
+    (reference NewWEmbedEmbedder.cpp:161-186)."""
+    set_seed(14)
+    g = _small_graph()
+    monkeypatch.chdir(tmp_path)
+    opts = EmbedderOptions(
+        embedding_dimension=2, dump_weights=True, max_iterations=4,
+        position_min_change=0.0,
+    )
+    emb = WEmbedEmbedder(g, opts, verbose=False)
+    emb.calculate_embedding()
+    lines = (tmp_path / "weight_dump.txt").read_text().strip().splitlines()
+    assert len(lines) == 4
+    row = np.asarray([float(x) for x in lines[0].split()])
+    np.testing.assert_allclose(row, emb.get_weights())

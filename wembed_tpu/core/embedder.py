@@ -141,11 +141,20 @@ class WEmbedEmbedder:
             self._state = self._jitted_step(self._state, self._weights, self._inv_w)
             self._state.positions.block_until_ready()
         it = int(self._state.iteration)
+        if self.opts.dump_weights:
+            self._dump_weights(it)
         if self.verbose and (it == 1 or (it > 0 and it % 10 == 0)):
             print(
                 f"(Iteration {it}: #rep forces {int(self._state.num_rep_forces)}, "
                 f"relative pos change: {float(self._state.pos_change)})"
             )
+
+    def _dump_weights(self, iteration: int) -> None:
+        """Append the current weights to weight_dump.txt — truncate on the
+        first iteration (reference NewWEmbedEmbedder.cpp:161-186)."""
+        mode = "w" if iteration <= 1 else "a"
+        with open("weight_dump.txt", mode) as f:
+            f.write(" ".join(repr(float(w)) for w in self._weights_np) + " \n")
 
     def is_finished(self) -> bool:
         return int(self._state.iteration) >= self.opts.max_iterations or (
@@ -160,6 +169,14 @@ class WEmbedEmbedder:
             self._state = self._state._replace(
                 pos_change=jnp.asarray(0.0, jnp.float32)
             )
+            return
+        if self.opts.dump_weights:
+            # the reference dumps once per iteration from inside
+            # calculateStep (NewWEmbedEmbedder.cpp:36), so the debug path
+            # steps host-side instead of the device while-loop
+            with self.timer.phase("embedding_all", "Embedding"):
+                while not self.is_finished():
+                    self.calculate_step()
             return
         with self.timer.phase("embedding_all", "Embedding"):
             while True:

@@ -30,8 +30,8 @@ from jax import lax
 from . import candidates as cand_mod
 from . import forces
 from ..kernels import fused_dense as fused_mod
-from .optim import AdamParams, adam_update
-from .options import EmbedderOptions, RepulsionMode
+from .optim import AdamParams, adam_update, simple_update
+from .options import EmbedderOptions, OptimizerType, RepulsionMode
 from .state import DeviceGraph, EmbedState
 
 
@@ -101,6 +101,19 @@ def build_step(
         dense_adj = forces.build_dense_adjacency(dg)
     hp = AdamParams(opts.learning_rate, opts.cooling_factor)
 
+    def apply_optimizer(old_positions, force, state, t):
+        """Positions + fresh moment arrays after one optimizer update.
+
+        SIMPLE is the reference's clip-then-cooled-LR optimizer
+        (SimpleOptimizer.cpp:17-41, maxDisplacement=1); it keeps the
+        (unused) Adam moments untouched."""
+        if opts.optimizer_type is OptimizerType.SIMPLE:
+            positions = simple_update(
+                old_positions, force, t, opts.learning_rate, opts.cooling_factor
+            )
+            return positions, state.adam_m, state.adam_v
+        return adam_update(old_positions, force, state.adam_m, state.adam_v, t, hp)
+
     def fused_step(
         state: EmbedState, weights: jax.Array, inv_w: jax.Array
     ) -> EmbedState:
@@ -144,9 +157,7 @@ def build_step(
             force = force + forces.centre_forces(old_positions, opts)
 
         t = state.iteration + 1
-        positions, m, v = adam_update(
-            old_positions, force, state.adam_m, state.adam_v, t, hp
-        )
+        positions, m, v = apply_optimizer(old_positions, force, state, t)
         positions = forces.apply_gravity_centre(positions)
         pos_change = forces.mean_squared_displacement(old_positions, positions)
         return EmbedState(
@@ -228,9 +239,7 @@ def build_step(
             force = force + forces.centre_forces(state.positions, opts)
 
         t = state.iteration + 1
-        positions, m, v = adam_update(
-            state.positions, force, state.adam_m, state.adam_v, t, hp
-        )
+        positions, m, v = apply_optimizer(state.positions, force, state, t)
         positions = forces.apply_gravity_centre(positions)
         pos_change = forces.mean_squared_displacement(old_positions, positions)
 
