@@ -180,57 +180,82 @@ def _girg_edges(
     weights: np.ndarray, positions: np.ndarray, dim: int, alpha: float,
     rng: np.random.Generator,
 ) -> np.ndarray:
-    """Sample GIRG edges with a cell grid sized to the threshold radius.
+    """Sample GIRG edges in near-linear expected time via weight buckets.
 
-    For each pair within a grid neighborhood compute the connection
-    probability exactly; long-range edges (alpha < inf) beyond the grid
-    neighborhood are sampled by rejection from candidate cells.  For the
-    threshold model (alpha = inf) the grid is exact because
-    p = 1 iff dist <= (w_u w_v / n)^(1/dim) <= r_max.
+    A single grid sized to the global max radius degenerates to all-pairs
+    under power-law weights (the heaviest pair's radius covers the torus).
+    Instead vertices are split into doubling weight buckets; each bucket
+    PAIR (i, j) gets its own grid with cell size
+    r_ij = min(0.5, (wmax_i * wmax_j / n)^(1/dim)) — the largest distance at
+    which any (i, j) pair can connect in the threshold model.  Near pairs
+    (within r_ij) get their exact connection probability; for alpha < inf
+    the long-range tail beyond r_ij is rejection-sampled per bucket pair
+    with the upper-bound probability at distance r_ij.  Expected candidate
+    work is O(n) for ple > 2 (the bucket-pair sum telescopes), matching the
+    design of the external ``girgs`` sampler the reference CLI uses.
     """
     n = weights.shape[0]
-    wmax = weights.max()
-    r_max = min(0.5, (wmax * wmax / n) ** (1.0 / dim))
+    # doubling weight buckets (same classing idea as the embedder's index)
+    logw = np.floor(np.log2(np.maximum(weights, 1e-300))).astype(np.int64)
+    logw -= logw.min()
+    nb = int(logw.max()) + 1
+    members = [np.flatnonzero(logw == k) for k in range(nb)]
+    wmax_b = [float(weights[m].max()) if m.size else 0.0 for m in members]
 
-    if np.isinf(alpha):
-        pairs = _pairs_within_radius(positions, r_max)
-        if pairs.shape[0] == 0:
-            return pairs
-        u, v = pairs[:, 0], pairs[:, 1]
-        thresh = (weights[u] * weights[v] / n) ** (1.0 / dim)
-        d = _torus_distance(positions[u], positions[v])
-        return pairs[d <= thresh]
-
-    # binomial model: near pairs handled exactly via the grid; far pairs by
-    # global subsampling with the upper-bound probability at distance r_max
-    pairs = _pairs_within_radius(positions, r_max)
     edges = []
-    if pairs.shape[0]:
-        u, v = pairs[:, 0], pairs[:, 1]
-        d = _torus_distance(positions[u], positions[v])
-        p = np.minimum(1.0, (weights[u] * weights[v] / (n * np.maximum(d, 1e-12) ** dim)) ** alpha)
-        m = rng.uniform(size=p.shape[0]) < p
-        edges.append(pairs[m])
+    for i in range(nb):
+        mi = members[i]
+        if mi.size == 0:
+            continue
+        for j in range(i, nb):
+            mj = members[j]
+            if mj.size == 0:
+                continue
+            r_ij = min(0.5, (wmax_b[i] * wmax_b[j] / n) ** (1.0 / dim))
+            pairs = _cross_pairs_within_radius(positions, mi, mj, r_ij)
+            if pairs.shape[0]:
+                u, v = pairs[:, 0], pairs[:, 1]
+                d = _torus_distance(positions[u], positions[v])
+                if np.isinf(alpha):
+                    thresh = (weights[u] * weights[v] / n) ** (1.0 / dim)
+                    m = d <= thresh
+                else:
+                    p = np.minimum(
+                        1.0,
+                        (weights[u] * weights[v] / (n * np.maximum(d, 1e-12) ** dim))
+                        ** alpha,
+                    )
+                    m = rng.uniform(size=p.shape[0]) < p
+                if m.any():
+                    edges.append(pairs[m])
 
-    # far pairs: p <= p_far_max = (wmax^2/(n r_max^dim))^alpha; subsample
-    p_far_max = min(1.0, (wmax * wmax / (n * r_max**dim)) ** alpha)
-    expected = p_far_max * n * (n - 1) / 2
-    num_cand = int(min(expected * 3 + 100, 5e7))
-    if num_cand > 0 and p_far_max > 0:
-        cu = rng.integers(0, n, size=num_cand)
-        cv = rng.integers(0, n, size=num_cand)
-        keep = cu < cv
-        cu, cv = cu[keep], cv[keep]
-        d = _torus_distance(positions[cu], positions[cv])
-        far = d > r_max
-        cu, cv, d = cu[far], cv[far], d[far]
-        p = np.minimum(1.0, (weights[cu] * weights[cv] / (n * d**dim)) ** alpha)
-        # candidates were drawn uniformly from ~n(n-1)/2 pairs; correct the
-        # acceptance so each far pair is included with probability p
-        accept_scale = (n * (n - 1) / 2) / max(1, num_cand)
-        m = rng.uniform(size=p.shape[0]) < np.minimum(1.0, p * accept_scale)
-        if m.any():
-            edges.append(np.stack([cu[m], cv[m]], axis=1))
+            if np.isinf(alpha) or r_ij >= 0.5:
+                continue  # no pair beyond r_ij can connect / none exists
+            # long-range tail: p <= (wmax_i wmax_j / (n r_ij^dim))^alpha for
+            # dist > r_ij; rejection-sample over the (i, j) pair universe
+            p_far_max = min(1.0, (wmax_b[i] * wmax_b[j] / (n * r_ij**dim)) ** alpha)
+            universe = (
+                mi.size * (mi.size - 1) / 2 if i == j else mi.size * mj.size
+            )
+            expected = p_far_max * universe
+            num_cand = int(min(expected * 3 + 64, 2e7))
+            if num_cand <= 0 or p_far_max <= 0:
+                continue
+            cu = mi[rng.integers(0, mi.size, size=num_cand)]
+            cv = mj[rng.integers(0, mj.size, size=num_cand)]
+            keep = cu < cv if i == j else cu != cv
+            cu, cv = cu[keep], cv[keep]
+            d = _torus_distance(positions[cu], positions[cv])
+            far = d > r_ij
+            cu, cv, d = cu[far], cv[far], d[far]
+            p = np.minimum(1.0, (weights[cu] * weights[cv] / (n * d**dim)) ** alpha)
+            # candidates were drawn uniformly from the pair universe;
+            # correct the acceptance so each far pair is included w.p. p
+            accept_scale = universe / max(1, num_cand)
+            m = rng.uniform(size=p.shape[0]) < np.minimum(1.0, p * accept_scale)
+            if m.any():
+                fu, fv = np.minimum(cu[m], cv[m]), np.maximum(cu[m], cv[m])
+                edges.append(np.stack([fu, fv], axis=1))
 
     if not edges:
         return np.empty((0, 2), dtype=np.int64)
@@ -239,50 +264,74 @@ def _girg_edges(
     return np.stack([keys // n, keys % n], axis=1)
 
 
-def _pairs_within_radius(positions: np.ndarray, radius: float) -> np.ndarray:
-    """(k, 2) pairs (u < v) with Linf torus distance <= radius, via a cell
-    grid with wrap-around neighborhoods."""
-    n, dim = positions.shape
+def _cross_pairs_within_radius(
+    positions: np.ndarray, idx_a: np.ndarray, idx_b: np.ndarray, radius: float
+) -> np.ndarray:
+    """(k, 2) global-id pairs (u < v, u != v) with one endpoint in ``idx_a``,
+    the other in ``idx_b`` and Linf torus distance <= radius, via a cell grid
+    over the b-side with wrap-around neighborhoods.  ``idx_a is idx_b``
+    handles the self case."""
+    n_all, dim = positions.shape
+    same = idx_a is idx_b
     ncells = max(1, int(np.floor(1.0 / max(radius, 1e-9))))
     if ncells <= 3:
-        # grid too coarse to prune: all pairs (only for tiny n or big radius)
-        u, v = np.triu_indices(n, k=1)
-        d = _torus_distance(positions[u], positions[v])
-        m = d <= radius
-        return np.stack([u[m], v[m]], axis=1)
+        # grid too coarse to prune (radius ~ torus size): brute-force the
+        # cross product in blocks.  Only heavy (hence tiny) buckets land
+        # here under power-law weights.
+        out = []
+        block = max(1, int(4e7) // max(1, idx_b.size))
+        for s in range(0, idx_a.size, block):
+            a_blk = idx_a[s : s + block]
+            d = _torus_distance(
+                positions[a_blk][:, None, :], positions[idx_b][None, :, :]
+            )
+            ai, bi = np.nonzero(d <= radius)
+            u, v = a_blk[ai], idx_b[bi]
+            m = u < v if same else u != v
+            if m.any():
+                uu, vv = u[m], v[m]
+                out.append(np.stack([np.minimum(uu, vv), np.maximum(uu, vv)], axis=1))
+        if not out:
+            return np.empty((0, 2), dtype=np.int64)
+        pairs = np.concatenate(out, axis=0)
+        keys = np.unique(pairs[:, 0] * n_all + pairs[:, 1])
+        return np.stack([keys // n_all, keys % n_all], axis=1)
 
-    cell_coord = np.minimum((positions * ncells).astype(np.int64), ncells - 1)
     multipliers = ncells ** np.arange(dim)[::-1]
-    cell = cell_coord @ multipliers
-    order = np.argsort(cell, kind="stable")
-    sorted_cell = cell[order]
+    b_cell_coord = np.minimum((positions[idx_b] * ncells).astype(np.int64), ncells - 1)
+    b_cell = b_cell_coord @ multipliers
+    order = np.argsort(b_cell, kind="stable")
+    sorted_cell = b_cell[order]
     total_cells = ncells**dim
     starts = np.searchsorted(sorted_cell, np.arange(total_cells))
     ends = np.searchsorted(sorted_cell, np.arange(total_cells) + 1)
+    b_sorted_ids = idx_b[order]
 
+    a_cell_coord = np.minimum((positions[idx_a] * ncells).astype(np.int64), ncells - 1)
     offsets = np.stack(
         np.meshgrid(*([np.asarray([-1, 0, 1])] * dim), indexing="ij"), axis=-1
     ).reshape(-1, dim)
 
     out = []
     for off in offsets:
-        ncell = ((cell_coord + off) % ncells) @ multipliers
+        ncell = ((a_cell_coord + off) % ncells) @ multipliers
         s, e = starts[ncell], ends[ncell]
         counts = e - s
         total = int(counts.sum())
         if total == 0:
             continue
-        src = np.repeat(np.arange(n), counts)
+        src = np.repeat(idx_a, counts)
         offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-        dst = order[np.repeat(s, counts) + offs]
-        m = src < dst
+        dst = b_sorted_ids[np.repeat(s, counts) + offs]
+        m = src < dst if same else src != dst
         src, dst = src[m], dst[m]
         d = _torus_distance(positions[src], positions[dst])
         m = d <= radius
         if m.any():
-            out.append(np.stack([src[m], dst[m]], axis=1))
+            u, v = src[m], dst[m]
+            out.append(np.stack([np.minimum(u, v), np.maximum(u, v)], axis=1))
     if not out:
         return np.empty((0, 2), dtype=np.int64)
     pairs = np.concatenate(out, axis=0)
-    keys = np.unique(pairs[:, 0] * n + pairs[:, 1])
-    return np.stack([keys // n, keys % n], axis=1)
+    keys = np.unique(pairs[:, 0] * n_all + pairs[:, 1])
+    return np.stack([keys // n_all, keys % n_all], axis=1)
