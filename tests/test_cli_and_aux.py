@@ -107,6 +107,31 @@ def test_svg_and_ipe_writers(tmp_path):
     assert "<ipe" in t and t.count("<use") == g.num_vertices
 
 
+def test_animated_svg(tmp_path):
+    from wembed_tpu import api
+    from wembed_tpu.draw import FrameRecorder, animate_embedding, write_animated_svg
+
+    set_seed(5)
+    g, _ = generators.geometric_graph(60, rng=np.random.default_rng(2))
+    graph = api.Graph(g)
+    emb = api.createEmbedder(
+        graph, api.Options(embeddingDimension=2, maxIterations=30)
+    )
+    rec = animate_embedding(emb, every=5)
+    assert len(rec) >= 3  # init frame + interval frames + final frame
+    out = tmp_path / "anim.svg"
+    write_animated_svg(
+        str(out), g, rec.frames, weights=np.asarray(emb.getWeights())
+    )
+    text = out.read_text()
+    assert text.startswith("<svg")
+    assert text.count("<circle") == g.num_vertices
+    # every circle animates both coordinates across all frames
+    assert text.count('attributeName="cx"') == g.num_vertices
+    first_track = text.split('values="', 1)[1].split('"', 1)[0]
+    assert first_track.count(";") == len(rec) - 1
+
+
 def test_checkpoint_roundtrip(tmp_path):
     set_seed(13)
     g, _ = generators.geometric_graph(80, rng=np.random.default_rng(1))
