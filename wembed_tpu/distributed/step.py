@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core import candidates as cand_mod
 from ..core import step as step_mod
@@ -65,7 +65,7 @@ def build_multichip_step(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     jitted = jax.jit(sharded)
 
