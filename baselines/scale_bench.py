@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Large-graph (sparse bucket path) throughput measurement on the TPU.
+
+Usage: python baselines/scale_bench.py <graph.edg> [dim] [iters]
+
+Prints a JSON line with steady-state edges/s for the bucketed sparse
+repulsion path, plus per-phase wall time, so sparse-path optimization has
+a stable yardstick (BASELINE.md row 4).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    import jax
+
+    from wembed_tpu.core import EmbedderOptions, WEmbedEmbedder
+    from wembed_tpu.graphs import io
+    from wembed_tpu.utils import set_seed
+
+    path = sys.argv[1]
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+
+    set_seed(1)
+    g = io.read_edge_list(path)
+    m = g.num_edges
+    opts = EmbedderOptions(embedding_dimension=dim, max_iterations=iters)
+    t0 = time.perf_counter()
+    emb = WEmbedEmbedder(g, opts, verbose=False)
+    build_s = time.perf_counter() - t0
+
+    # warm up / compile with a single step
+    t0 = time.perf_counter()
+    emb.calculate_step()
+    jax.block_until_ready(emb.state.positions)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    emb.calculate_embedding()
+    jax.block_until_ready(emb.state.positions)
+    wall = time.perf_counter() - t0
+    done = emb.iteration - 1  # first step above
+
+    eps = m * done / wall
+    print(
+        json.dumps(
+            {
+                "metric": "edges_per_s_sparse",
+                "graph": path,
+                "n": g.num_vertices,
+                "m": m,
+                "dim": dim,
+                "iters": done,
+                "value": round(eps, 1),
+                "unit": "edges/s",
+                "wall_s": round(wall, 3),
+                "build_s": round(build_s, 3),
+                "compile_s": round(compile_s, 3),
+                "overflow": int(emb.state.overflow),
+                "rep_count": int(emb.state.num_rep_forces),
+                "att_loss": round(float(emb.state.attract_loss), 1),
+                "rep_loss": round(float(emb.state.repel_loss), 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -437,8 +437,14 @@ def bucket_repulsion_forces(
                 span_invw = inv_w[span_ids].astype(dtype)
                 span_color = colors[span_ids]
 
-                diff = qp_g[:, :, None, :] - span_pos[:, None, :, :]  # (G,Q,S,d)
-                dist2 = jnp.sum(diff * diff, axis=-1)
+                # dist^2 by per-dimension accumulation: d fused VPU passes
+                # over (G, Q, S) — never materializes a (G, Q, S, d) diff
+                # tensor (full-precision, same rationale as the dense path)
+                G = qp_g.shape[0]
+                dist2 = jnp.zeros((G, _QUERY_BLOCK, S), dtype)
+                for k in range(d):
+                    diff_k = qp_g[:, :, None, k] - span_pos[:, None, :, k]
+                    dist2 += diff_k * diff_k
                 valid = (
                     span_ok[:, None, :]
                     & (dist2 <= (r_g * r_g)[:, :, None])
@@ -453,7 +459,12 @@ def bucket_repulsion_forces(
                 coeff = jnp.where(
                     active, opts.repulsion_scale * ws * inv_dist, 0.0
                 ).astype(dtype)
-                f_g = jnp.einsum("bqs,bqsd->bqd", coeff, diff)
+                # F_q = sum_s coeff * (q - s) = q * rowsum - coeff @ span_pos
+                # — one batched MXU matmul instead of a (G, Q, S, d) reduce
+                rowsum = jnp.sum(coeff, axis=2)  # (G, Q)
+                f_g = qp_g * rowsum[:, :, None] - jnp.einsum(
+                    "bqs,bsd->bqd", coeff, span_pos, preferred_element_type=dtype
+                )
                 loss_g = jnp.sum(
                     jnp.where(active, L / ws - jnp.sqrt(dist2), 0.0),
                     dtype=jnp.float32,
@@ -462,8 +473,8 @@ def bucket_repulsion_forces(
                 zero_g = jnp.sum(valid & ~pos_dist2, axis=2, dtype=jnp.int32)
                 return f_g, loss_g, count_g, zero_g
 
-            # group size: keep (G, Q, S) work arrays around ~4M elements
-            group = max(1, min(local_nblocks, 2**22 // (_QUERY_BLOCK * S)))
+            # group size: keep (G, Q, S) work arrays around ~8M elements
+            group = max(1, min(local_nblocks, 2**23 // (_QUERY_BLOCK * S)))
             ngroups = (local_nblocks + group - 1) // group
             local_q = local_nblocks * _QUERY_BLOCK
             if ngroups <= 1:
@@ -561,35 +572,66 @@ def bucket_repulsion_forces(
             hids = hids_full
             h_valid = jnp.ones((H,), bool)
         hpos = positions[hids]  # (H_local, d)
-        diff = hpos[:, None, :] - positions[None, :, :]  # (H_local, n, d)
-        dist2 = jnp.sum(diff * diff, axis=-1)
         # candidate radius depends on the TARGET's bucket (conservative
-        # per-class radius, WeightedIndex.cpp:65-81)
-        r_hn = (
-            L * jnp.power(weights[hids][:, None] * bucket_max_of[None, :], inv_d)
-        ).astype(dtype)
-        valid = (
-            (dist2 <= r_hn * r_hn)
-            & (colors[hids][:, None] != colors[None, :])
-            & h_valid[:, None]
-        )
-        if in_index is not None:
-            valid &= in_index[None, :]
-        ws = _weight_scaling(
-            inv_w[hids][:, None], inv_w[None, :], opts.additive_weights
-        )
-        pos_dist2 = dist2 > 0
-        active = valid & (dist2 * ws * ws <= L2) & pos_dist2
-        inv_dist = lax.rsqrt(jnp.maximum(dist2, jnp.asarray(1e-30, dtype)))
-        coeff = jnp.where(active, opts.repulsion_scale * ws * inv_dist, 0.0).astype(dtype)
-        f_h = jnp.einsum("hn,hnd->hd", coeff, diff)
-        force = force.at[hids].add(jnp.where(h_valid[:, None], f_h, 0.0))
-        loss += jnp.sum(
-            jnp.where(active, L / ws - jnp.sqrt(dist2), 0.0), dtype=jnp.float32
-        )
-        count += jnp.sum(valid, dtype=jnp.int32)
-        zero_count = zero_count.at[hids].add(
-            jnp.where(h_valid, jnp.sum(valid & ~pos_dist2, axis=1, dtype=jnp.int32), 0)
+        # per-class radius, WeightedIndex.cpp:65-81).  Rows are processed in
+        # chunks of two MXU matmuls each (like the dense path) — never
+        # materializing an (H, n, d) diff tensor.
+        h_local = hids.shape[0]
+        h_chunk = max(64, min(h_local, _round_up(2**23 // max(n, 1), 8)))
+
+        def heavy_chunk(s, carry):
+            force, loss, count, zero_count = carry
+            rows = s * h_chunk + jnp.arange(h_chunk)
+            r_ok = (rows < h_local)
+            ridx = jnp.minimum(rows, h_local - 1)
+            ids_c = hids[ridx]
+            hp = hpos[ridx]  # (C, d)
+            dist2 = jnp.zeros((h_chunk, n), dtype)
+            for k in range(d):
+                diff_k = hp[:, k][:, None] - positions[:, k][None, :]
+                dist2 += diff_k * diff_k
+            r_hn = (
+                L
+                * jnp.power(weights[ids_c][:, None] * bucket_max_of[None, :], inv_d)
+            ).astype(dtype)
+            valid = (
+                (dist2 <= r_hn * r_hn)
+                & (colors[ids_c][:, None] != colors[None, :])
+                & (h_valid[ridx] & r_ok)[:, None]
+            )
+            if in_index is not None:
+                valid &= in_index[None, :]
+            ws = _weight_scaling(
+                inv_w[ids_c][:, None], inv_w[None, :], opts.additive_weights
+            )
+            pos_dist2 = dist2 > 0
+            active = valid & (dist2 * ws * ws <= L2) & pos_dist2
+            inv_dist = lax.rsqrt(jnp.maximum(dist2, jnp.asarray(1e-30, dtype)))
+            coeff = jnp.where(
+                active, opts.repulsion_scale * ws * inv_dist, 0.0
+            ).astype(dtype)
+            rowsum = jnp.sum(coeff, axis=1)
+            f_h = hp * rowsum[:, None] - coeff @ positions  # MXU
+            force = force.at[ids_c].add(
+                jnp.where((h_valid[ridx] & r_ok)[:, None], f_h, 0.0), mode="drop"
+            )
+            loss += jnp.sum(
+                jnp.where(active, L / ws - jnp.sqrt(dist2), 0.0), dtype=jnp.float32
+            )
+            count += jnp.sum(valid, dtype=jnp.int32)
+            zero_count = zero_count.at[ids_c].add(
+                jnp.where(
+                    h_valid[ridx] & r_ok,
+                    jnp.sum(valid & ~pos_dist2, axis=1, dtype=jnp.int32),
+                    0,
+                ),
+                mode="drop",
+            )
+            return force, loss, count, zero_count
+
+        nchunks = (h_local + h_chunk - 1) // h_chunk
+        force, loss, count, zero_count = lax.fori_loop(
+            0, nchunks, heavy_chunk, (force, loss, count, zero_count)
         )
 
         # correction for heavy-src edges: same dense candidate condition
@@ -636,8 +678,9 @@ def _subtract_edge_pairs(
 ):
     """Remove the repulsion contributions of ``included`` directed edges
     (they are graph neighbors and must not repel,
-    NewWEmbedEmbedder.cpp:328).  The arithmetic mirrors the candidate
-    passes so the subtraction cancels exactly."""
+    NewWEmbedEmbedder.cpp:328).  The per-pair coefficients mirror the
+    candidate passes, so the subtraction cancels up to summation-order
+    rounding."""
     dtype = force.dtype
     L = opts.edge_length
     ws = _weight_scaling(inv_w[esrc], inv_w[edst], opts.additive_weights)
