@@ -90,10 +90,6 @@ class Bucket:
     span: int  # per-query-block member span size (static)
     sample_size: int  # members inserted per step (IndexSize < 1 subsamples)
     heavy_queries: bool  # True: members query densely instead of via spans
-    # directed edges with light src whose DST lies in this bucket (padded)
-    edge_src: np.ndarray
-    edge_dst: np.ndarray
-    edge_mask: np.ndarray
 
 
 @dataclass(frozen=True)
@@ -104,6 +100,12 @@ class BucketIndex:
     n: int
     heavy_ids: np.ndarray  # (H,) vertices with dense query rows
     bucket_max_of: np.ndarray  # (n,) float: max weight of each vertex's bucket
+    # directed edges with light SRC, tagged by the DST's bucket position in
+    # ``buckets`` — ONE merged correction pass handles every bucket (padded)
+    light_edge_src: np.ndarray
+    light_edge_dst: np.ndarray
+    light_edge_mask: np.ndarray
+    light_edge_bucket: np.ndarray
     # directed edges whose SRC is a heavy query (padded)
     heavy_edge_src: np.ndarray
     heavy_edge_dst: np.ndarray
@@ -177,6 +179,8 @@ class BucketIndex:
         L, d = opts.edge_length, opts.embedding_dimension
         spread = max(float(n) ** (1.0 / d), 1e-9)  # init cube side
         buckets = []
+        # position of each (non-empty) weight class within ``buckets``
+        bucket_pos = np.full(num_buckets, -1, np.int32)
         for b in range(num_buckets):
             members = members_of[b]
             if members.shape[0] == 0:
@@ -201,9 +205,7 @@ class BucketIndex:
                 64,
             )
             span = min(span, _round_up(sample, 8))
-            sel = np.flatnonzero((dst_bucket == b) & ~src_heavy)
-            esrc, _ = _pad_to(edge_src[sel], 512, 0)
-            edst, emask = _pad_to(edge_dst[sel], 512, 0)
+            bucket_pos[b] = len(buckets)
             buckets.append(
                 Bucket(
                     members=members,
@@ -211,16 +213,21 @@ class BucketIndex:
                     span=int(span),
                     sample_size=int(sample),
                     heavy_queries=bool(heavy_flags[b]),
-                    edge_src=esrc,
-                    edge_dst=edst,
-                    edge_mask=emask,
                 )
             )
+        l_sel = np.flatnonzero(~src_heavy) if edge_src.size else np.empty(0, np.int64)
+        lsrc, _ = _pad_to(edge_src[l_sel], 512, 0)
+        ldst, lmask = _pad_to(edge_dst[l_sel], 512, 0)
+        lbkt, _ = _pad_to(bucket_pos[dst_bucket[l_sel]].astype(np.int32), 512, 0)
         return BucketIndex(
             buckets=tuple(buckets),
             n=n,
             heavy_ids=heavy_ids,
             bucket_max_of=max_of_bucket[assignment].astype(np.float64),
+            light_edge_src=lsrc,
+            light_edge_dst=ldst,
+            light_edge_mask=lmask,
+            light_edge_bucket=lbkt,
             heavy_edge_src=hsrc,
             heavy_edge_dst=hdst,
             heavy_edge_mask=hmask,
@@ -326,9 +333,19 @@ def bucket_repulsion_forces(
         order = jnp.argsort(mproj)
         sids = members[order]
         sproj = mproj[order]
-        spos = positions[sids]
+        # packed sorted member data [pos(d), inv_w, color]: the hot span
+        # pass then gathers ONE row per candidate instead of three.  Colors
+        # ride as floats — exact for ids < 2^24 (guarded in DeviceGraph).
+        sdata = jnp.concatenate(
+            [
+                positions[sids],
+                inv_w[sids].astype(dtype)[:, None],
+                colors[sids].astype(dtype)[:, None],
+            ],
+            axis=1,
+        )
         rank_of = rank_of.at[sids].set(jnp.arange(sids.shape[0], dtype=jnp.int32))
-        structs.append((bucket, sids, sproj, spos))
+        structs.append((bucket, sids, sproj, sdata))
 
     # ---- light-query ordering: group queries by their own weight bucket,
     # sort each group by projection, pad each group to whole blocks.
@@ -400,7 +417,7 @@ def bucket_repulsion_forces(
         zero_sorted = jnp.zeros((local_nblocks * _QUERY_BLOCK,), jnp.int32)
         span_starts = []
 
-        for bucket, sids, sproj, spos in structs:
+        for bucket, sids, sproj, sdata in structs:
             # per-block conservative window bounds over this bucket
             radius = (L * jnp.power(qw_s * bucket.max_weight, inv_d)).astype(dtype)
             qlo = jnp.where(qreal_s, qproj_s - radius, jnp.asarray(np.inf, dtype))
@@ -426,16 +443,17 @@ def bucket_repulsion_forces(
                 r_blocks = r_all
                 start_l = start
 
-            def process_blocks(args, *, S=S, n_b=n_b, sids=sids, spos=spos):
+            def process_blocks(args, *, S=S, n_b=n_b, sdata=sdata):
                 start_g, qp_g, r_g, qcolor_g, qinvw_g = args
                 span_idx = start_g[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
                 span_ok = span_idx < n_b
                 idx = jnp.minimum(span_idx, n_b - 1)
-                # contiguous block-level reads of the sorted member arrays
-                span_pos = spos[idx]  # (G, S, d)
-                span_ids = sids[idx]
-                span_invw = inv_w[span_ids].astype(dtype)
-                span_color = colors[span_ids]
+                # ONE contiguous block-level read of the packed sorted
+                # member data [pos(d), inv_w, color]
+                span_dat = sdata[idx]  # (G, S, d+2)
+                span_pos = span_dat[..., :d]
+                span_invw = span_dat[..., d]
+                span_color = span_dat[..., d + 1]
 
                 # dist^2 by per-dimension accumulation: d fused VPU passes
                 # over (G, Q, S) — never materializes a (G, Q, S, d) diff
@@ -523,24 +541,34 @@ def bucket_repulsion_forces(
 
         # ---- O(E) correction for light-src edges — subtract neighbor pairs
         # the spans wrongly repelled (reference filters them at candidate
-        # time, NewWEmbedEmbedder.cpp:328)
-        for (bucket, sids, sproj, spos), start in zip(structs, span_starts):
-            if bucket.edge_src.shape[0] == 0:
-                continue
-            esrc = jnp.asarray(bucket.edge_src)
-            edst = jnp.asarray(bucket.edge_dst)
-            emask = jnp.asarray(bucket.edge_mask)
+        # time, NewWEmbedEmbedder.cpp:328).  ONE merged pass over all
+        # buckets: per-edge span windows come from the stacked per-bucket
+        # start arrays, so the endpoint gathers are paid once, not per
+        # bucket.
+        if index.light_edge_src.shape[0] > 0:
+            esrc = jnp.asarray(index.light_edge_src)
+            edst = jnp.asarray(index.light_edge_dst)
+            emask = jnp.asarray(index.light_edge_mask)
+            ebkt = jnp.asarray(index.light_edge_bucket)
             if num_shards > 1:
-                esrc, edst, emask = _shard_edge_group(
-                    esrc, edst, emask, shard_idx, num_shards
+                esrc, edst, emask, ebkt = _shard_edge_group(
+                    esrc, edst, emask, shard_idx, num_shards, ebkt
                 )
+            # flattened (B * nblocks,) start table: single-index gathers only
+            # (two-array advanced indexing emits a 2-operand gather that the
+            # XLA:TPU scatter/gather emitter rejects)
+            starts_flat = jnp.concatenate(span_starts)
+            spans_arr = jnp.asarray(
+                [b.span for b in index.buckets], dtype=jnp.int32
+            )
             psrc = positions[esrc]
             pdst = positions[edst]
-            r_e = (
-                L * jnp.power(weights[esrc] * bucket.max_weight, inv_d)
-            ).astype(dtype)
+            # dst's bucket max weight == that bucket's conservative radius
+            # bound (bucket_max_of is per-vertex)
+            bmax = jnp.asarray(index.bucket_max_of, dtype)
+            r_e = (L * jnp.power(weights[esrc] * bmax[edst], inv_d)).astype(dtype)
             rank = rank_of[edst]
-            span_start = start[block_of[esrc]]
+            span_start = starts_flat[ebkt * nblocks + block_of[esrc]]
             diff = psrc - pdst
             dist2 = jnp.sum(diff * diff, axis=-1)
             # (rank - span_start) in [0, S) mirrors the candidate pass's
@@ -550,7 +578,7 @@ def bucket_repulsion_forces(
                 emask
                 & (dist2 <= r_e * r_e)
                 & (rank >= span_start)
-                & (rank < span_start + bucket.span)
+                & (rank < span_start + spans_arr[ebkt])
                 & (colors[esrc] != colors[edst])
             )
             force, loss, count, zero_count = _subtract_edge_pairs(
@@ -578,13 +606,15 @@ def bucket_repulsion_forces(
         # materializing an (H, n, d) diff tensor.
         h_local = hids.shape[0]
         h_chunk = max(64, min(h_local, _round_up(2**23 // max(n, 1), 8)))
+        nchunks = (h_local + h_chunk - 1) // h_chunk
+        rows_all = jnp.arange(nchunks * h_chunk)
+        rok_all = (rows_all < h_local).reshape(nchunks, h_chunk)
+        ridx_all = jnp.minimum(rows_all, h_local - 1).reshape(nchunks, h_chunk)
 
-        def heavy_chunk(s, carry):
-            force, loss, count, zero_count = carry
-            rows = s * h_chunk + jnp.arange(h_chunk)
-            r_ok = (rows < h_local)
-            ridx = jnp.minimum(rows, h_local - 1)
+        def heavy_chunk(args):
+            ridx, r_ok = args  # (C,), (C,)
             ids_c = hids[ridx]
+            ok = h_valid[ridx] & r_ok
             hp = hpos[ridx]  # (C, d)
             dist2 = jnp.zeros((h_chunk, n), dtype)
             for k in range(d):
@@ -597,7 +627,7 @@ def bucket_repulsion_forces(
             valid = (
                 (dist2 <= r_hn * r_hn)
                 & (colors[ids_c][:, None] != colors[None, :])
-                & (h_valid[ridx] & r_ok)[:, None]
+                & ok[:, None]
             )
             if in_index is not None:
                 valid &= in_index[None, :]
@@ -612,26 +642,25 @@ def bucket_repulsion_forces(
             ).astype(dtype)
             rowsum = jnp.sum(coeff, axis=1)
             f_h = hp * rowsum[:, None] - coeff @ positions  # MXU
-            force = force.at[ids_c].add(
-                jnp.where((h_valid[ridx] & r_ok)[:, None], f_h, 0.0), mode="drop"
-            )
-            loss += jnp.sum(
+            loss_c = jnp.sum(
                 jnp.where(active, L / ws - jnp.sqrt(dist2), 0.0), dtype=jnp.float32
             )
-            count += jnp.sum(valid, dtype=jnp.int32)
-            zero_count = zero_count.at[ids_c].add(
-                jnp.where(
-                    h_valid[ridx] & r_ok,
-                    jnp.sum(valid & ~pos_dist2, axis=1, dtype=jnp.int32),
-                    0,
-                ),
-                mode="drop",
-            )
-            return force, loss, count, zero_count
+            count_c = jnp.sum(valid, dtype=jnp.int32)
+            zero_c = jnp.sum(valid & ~pos_dist2, axis=1, dtype=jnp.int32)
+            return jnp.where(ok[:, None], f_h, 0.0), loss_c, count_c, zero_c
 
-        nchunks = (h_local + h_chunk - 1) // h_chunk
-        force, loss, count, zero_count = lax.fori_loop(
-            0, nchunks, heavy_chunk, (force, loss, count, zero_count)
+        f_all, loss_all, count_all, zero_all = lax.map(
+            heavy_chunk, (ridx_all, rok_all)
+        )
+        # single scatter after the chunk loop (masked rows add zeros)
+        ids_flat = hids[ridx_all.reshape(-1)]
+        force = force.at[ids_flat].add(f_all.reshape(-1, d), mode="drop")
+        loss += jnp.sum(loss_all)
+        count += jnp.sum(count_all, dtype=jnp.int32)
+        zero_count = zero_count.at[ids_flat].add(
+            jnp.where(rok_all.reshape(-1) & h_valid[ridx_all.reshape(-1)],
+                      zero_all.reshape(-1), 0),
+            mode="drop",
         )
 
         # correction for heavy-src edges: same dense candidate condition
@@ -661,7 +690,7 @@ def bucket_repulsion_forces(
     return force, loss, count, overflow, zero_count
 
 
-def _shard_edge_group(esrc, edst, emask, shard_idx, num_shards):
+def _shard_edge_group(esrc, edst, emask, shard_idx, num_shards, ebkt=None):
     """Contiguous per-device slice of a padded edge group (mask-guarded, so
     group lengths need not divide the shard count)."""
     e_pad = esrc.shape[0]
@@ -669,7 +698,9 @@ def _shard_edge_group(esrc, edst, emask, shard_idx, num_shards):
     rows = shard_idx * per + jnp.arange(per)
     valid = rows < e_pad
     eidx = jnp.minimum(rows, e_pad - 1)
-    return esrc[eidx], edst[eidx], emask[eidx] & valid
+    if ebkt is None:
+        return esrc[eidx], edst[eidx], emask[eidx] & valid
+    return esrc[eidx], edst[eidx], emask[eidx] & valid, ebkt[eidx]
 
 
 def _subtract_edge_pairs(
