@@ -47,6 +47,13 @@ def main() -> None:
     jax.block_until_ready(emb.state.positions)
     wall = time.perf_counter() - t0
     done = emb.iteration - 1  # first step above
+    if done <= 0:
+        # zero steady-state steps ran (iters < 2 or converged during
+        # warm-up) — a throughput number from this would be meaningless
+        print(json.dumps({"metric": "edges_per_s_sparse", "graph": path,
+                          "error": "no steady-state iterations; rerun with iters >= 2",
+                          "iters": done}))
+        return
 
     eps = m * done / wall
     print(

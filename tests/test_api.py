@@ -112,3 +112,22 @@ def test_unit_weights_option():
     emb = wembed.createEmbedder(g, opts)
     emb.calculateEmbedding()
     assert emb.getWeights() == [1.0] * 5
+
+
+def test_graph_from_networkx_duck_typed():
+    """graph_from_networkx only needs .nodes()/.edges() — exercised with a
+    stand-in so the test does not depend on networkx being installed
+    (reference python/examples/cli_example.py:46-63)."""
+
+    class FakeNx:
+        def nodes(self):
+            return ["a", "b", "c", "d"]
+
+        def edges(self):
+            return [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+
+    g = wembed.graph_from_networkx(FakeNx())
+    assert g.getNumVertices() == 4
+    assert g.getNumEdges() == 4
+    assert g.node_labels == ["a", "b", "c", "d"]
+    assert g.areNeighbors(0, 1) and not g.areNeighbors(0, 2)

@@ -364,3 +364,31 @@ def test_dump_weights(tmp_path, monkeypatch):
     assert len(lines) == 4
     row = np.asarray([float(x) for x in lines[0].split()])
     np.testing.assert_allclose(row, emb.get_weights())
+
+
+def test_bucket_colors_above_2pow24_stay_distinct():
+    """Colors are compared as int32 in the span pass — distinct ids that
+    would collide after a float32 cast (>= 2^24) must still repel
+    (ADVICE round 1: the old float-packed colors silently dropped such
+    pairs' repulsion)."""
+    set_seed(11)
+    rng = np.random.default_rng(77)
+    g, _ = generators.geometric_graph(300, rng=rng)
+    n = g.num_vertices
+    coords = rng.uniform(0, n ** 0.5, size=(n, 2))
+    opts = EmbedderOptions(
+        embedding_dimension=2, dtype="float64",
+        repulsion_mode=RepulsionMode.BUCKET, window_capacity=n,
+    )
+    w = weights_mod.initial_weights(g, opts)
+    results = []
+    for colors in [None, (2 ** 24 + np.arange(n, dtype=np.int64) % (2 ** 30)).astype(np.int32)]:
+        gg = g.with_colors(colors) if colors is not None else g
+        set_seed(11)
+        emb = _embedder(gg, opts, coords, w)
+        for _ in range(5):
+            emb.calculate_step()
+        results.append(emb.get_coordinates())
+    # all-distinct colors (default arange vs 2^24+arange) are semantically
+    # identical: every non-self pair repels either way
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-12, atol=1e-12)

@@ -191,3 +191,29 @@ def test_coordinates_roundtrip(tmp_path):
     coords, weights = io.split_last_column(back)
     np.testing.assert_array_equal(coords, pos)
     np.testing.assert_array_equal(weights, w)
+
+
+def test_native_parser_matches_python_loop(tmp_path):
+    """The native C edge-list parser and the pure-Python fallback must
+    produce identical graphs (incl. comments, blank lines, junk lines)."""
+    from wembed_tpu.graphs.io import _read_pairs_native
+
+    p = tmp_path / "g.edg"
+    p.write_text(
+        "# a comment line\n"
+        "0 1\n"
+        "1 2\n"
+        "\n"
+        "junk\n"
+        "2 3\n"
+        "  3   4 trailing tokens\n"
+        "# another\n"
+        "4 0\n"
+    )
+    native = _read_pairs_native(str(p), "#")
+    if native is None:
+        pytest.skip("native library unavailable")
+    expected = np.asarray([[0, 1], [1, 2], [2, 3], [3, 4], [4, 0]])
+    assert np.array_equal(native, expected)
+    g = io.read_edge_list(str(p))
+    assert g.num_vertices == 5 and g.num_edges == 5

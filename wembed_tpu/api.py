@@ -228,6 +228,23 @@ def graphFromEdgeListFile(
     return Graph(io.read_edge_list(filePath, comment, delim))
 
 
+def graph_from_networkx(nx_graph) -> Graph:
+    """Convert a networkx graph whose nodes are hashable labels into a
+    ``Graph`` (relabelled to consecutive ids) — the helper from the
+    reference's Python example (python/examples/cli_example.py:46-63).
+
+    Returns the Graph; the id mapping is available as ``.node_labels``
+    (index -> original label)."""
+    labels = list(nx_graph.nodes())
+    index_of = {label: i for i, label in enumerate(labels)}
+    arr = np.asarray(
+        [[index_of[u], index_of[v]] for u, v in nx_graph.edges()], dtype=np.int64
+    ).reshape(-1, 2)
+    g = Graph(csr.from_edges(arr, num_vertices=len(labels)))
+    g.node_labels = labels
+    return g
+
+
 def readCoordinatesFromFile(
     filePath: str, comment: str = "%", delimiter: str = ","
 ) -> List[List[float]]:

@@ -31,15 +31,20 @@ Rust ``sprk`` crate) as an on-device blocked sort-merge candidate kernel:
 Neighbor filtering (the reference's areNeighbors check at candidate time,
 NewWEmbedEmbedder.cpp:328) is NOT done per candidate — that costs
 O(n*K*log deg) random gathers.  Instead the candidate passes repel every
-in-radius pair and an O(E) edge-correction pass subtracts exactly the
+in-radius pair and an O(E) edge-correction pass subtracts the
 contributions of pairs that are graph neighbors, reproducing the filtered
-semantics bit-for-bit (each directed edge recomputes whether its endpoint
-fell inside the candidate span, including truncation).
+semantics up to summation-order rounding (each directed edge recomputes
+whether its endpoint fell inside the candidate span, including
+truncation; the candidate pass computes forces in MXU form
+``q*rowsum - coeff @ span_pos`` while the correction subtracts
+``coeff*(q-s)`` directly, so cancellation is exact in value but not in
+float rounding — residual O(eps * |position| * coeff) per corrected edge).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -333,19 +338,16 @@ def bucket_repulsion_forces(
         order = jnp.argsort(mproj)
         sids = members[order]
         sproj = mproj[order]
-        # packed sorted member data [pos(d), inv_w, color]: the hot span
-        # pass then gathers ONE row per candidate instead of three.  Colors
-        # ride as floats — exact for ids < 2^24 (guarded in DeviceGraph).
+        # packed sorted member data [pos(d), inv_w]: the hot span pass
+        # gathers ONE float row per candidate.  Colors stay a SEPARATE
+        # int32 array (same span indices) — packing them as floats would
+        # silently collide distinct ids >= 2^24 after the float32 cast.
         sdata = jnp.concatenate(
-            [
-                positions[sids],
-                inv_w[sids].astype(dtype)[:, None],
-                colors[sids].astype(dtype)[:, None],
-            ],
-            axis=1,
+            [positions[sids], inv_w[sids].astype(dtype)[:, None]], axis=1
         )
+        scolor = colors[sids]
         rank_of = rank_of.at[sids].set(jnp.arange(sids.shape[0], dtype=jnp.int32))
-        structs.append((bucket, sids, sproj, sdata))
+        structs.append((bucket, sids, sproj, sdata, scolor))
 
     # ---- light-query ordering: group queries by their own weight bucket,
     # sort each group by projection, pad each group to whole blocks.
@@ -417,7 +419,7 @@ def bucket_repulsion_forces(
         zero_sorted = jnp.zeros((local_nblocks * _QUERY_BLOCK,), jnp.int32)
         span_starts = []
 
-        for bucket, sids, sproj, sdata in structs:
+        for bucket, sids, sproj, sdata, scolor in structs:
             # per-block conservative window bounds over this bucket
             radius = (L * jnp.power(qw_s * bucket.max_weight, inv_d)).astype(dtype)
             qlo = jnp.where(qreal_s, qproj_s - radius, jnp.asarray(np.inf, dtype))
@@ -443,17 +445,17 @@ def bucket_repulsion_forces(
                 r_blocks = r_all
                 start_l = start
 
-            def process_blocks(args, *, S=S, n_b=n_b, sdata=sdata):
+            def process_blocks(args, *, S=S, n_b=n_b, sdata=sdata, scolor=scolor):
                 start_g, qp_g, r_g, qcolor_g, qinvw_g = args
                 span_idx = start_g[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
                 span_ok = span_idx < n_b
                 idx = jnp.minimum(span_idx, n_b - 1)
                 # ONE contiguous block-level read of the packed sorted
-                # member data [pos(d), inv_w, color]
-                span_dat = sdata[idx]  # (G, S, d+2)
+                # member data [pos(d), inv_w], plus the int32 color row
+                span_dat = sdata[idx]  # (G, S, d+1)
                 span_pos = span_dat[..., :d]
                 span_invw = span_dat[..., d]
-                span_color = span_dat[..., d + 1]
+                span_color = scolor[idx]  # (G, S) int32
 
                 # dist^2 by per-dimension accumulation: d fused VPU passes
                 # over (G, Q, S) — never materializes a (G, Q, S, d) diff

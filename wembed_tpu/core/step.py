@@ -226,7 +226,14 @@ def build_step(
 
         # coincident-point kicks (NewWEmbedEmbedder.cpp:229-233), applied
         # once after the cross-device reduction; the RNG branch only pays
-        # when a coincidence actually occurred
+        # when a coincidence actually occurred.
+        # DOCUMENTED DEVIATION: the reference draws an independent random
+        # unit vector per coincident PAIR (expected kick magnitude ~sqrt(k)
+        # for k coincidences); we draw ONE unit vector per vertex scaled by
+        # its coincident-pair count (magnitude exactly k).  Both are
+        # arbitrary symmetry-breaking noise on measure-zero configurations;
+        # per-vertex keying keeps the kick independent of candidate
+        # enumeration order and needs no (pair -> rng) scatter.
         def with_kicks(f):
             kicks = forces.random_unit_vectors(
                 kick_key, (dg.n,), state.positions.shape[1], state.positions.dtype

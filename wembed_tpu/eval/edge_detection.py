@@ -51,12 +51,16 @@ def sample_histogram(
 
 
 def _sample_non_edges(g: CSRGraph, count: int, rng: np.random.Generator) -> np.ndarray:
-    """Uniformly sample ``count`` distinct unordered non-edge pairs."""
+    """Uniformly sample ``count`` distinct unordered non-edge pairs.
+
+    Fully vectorized: rejection by ``searchsorted`` against the sorted
+    edge-key array and ``np.isin``/``np.unique`` dedup — no per-element
+    Python set membership.  Emits a warning if the target count cannot be
+    reached (dense graphs where non-edges are scarce)."""
     n = g.num_vertices
     got: list[np.ndarray] = []
+    seen = np.empty(0, dtype=np.int64)  # sorted keys already taken
     total = 0
-    edge_keys = set(map(int, g.edge_keys.tolist())) if g.num_edges < 5_000_000 else None
-    seen: set[int] = set()
     attempts = 0
     while total < count and attempts < 50:
         attempts += 1
@@ -67,21 +71,30 @@ def _sample_non_edges(g: CSRGraph, count: int, rng: np.random.Generator) -> np.n
         ok = lo != hi
         lo, hi = lo[ok], hi[ok]
         keys = lo.astype(np.int64) * n + hi
-        if edge_keys is not None:
-            ok = np.asarray([int(x) not in edge_keys and int(x) not in seen for x in keys])
-        else:
-            in_edge = np.searchsorted(g.edge_keys, keys)
-            in_edge = np.minimum(in_edge, g.edge_keys.shape[0] - 1)
-            ok = g.edge_keys[in_edge] != keys
-            ok &= np.asarray([int(x) not in seen for x in keys])
-        lo, hi, keys = lo[ok], hi[ok], keys[ok]
+        if g.edge_keys.shape[0] > 0:
+            pos = np.searchsorted(g.edge_keys, keys)
+            pos = np.minimum(pos, g.edge_keys.shape[0] - 1)
+            ok = g.edge_keys[pos] != keys
+            lo, hi, keys = lo[ok], hi[ok], keys[ok]
+        if seen.shape[0] > 0:
+            ok = ~np.isin(keys, seen, assume_unique=False)
+            lo, hi, keys = lo[ok], hi[ok], keys[ok]
         # dedupe within batch
         keys, idx = np.unique(keys, return_index=True)
         lo, hi = lo[idx], hi[idx]
         take = min(count - total, lo.shape[0])
         got.append(np.stack([lo[:take], hi[:take]], axis=1))
-        seen.update(map(int, keys[:take].tolist()))
+        seen = np.union1d(seen, keys[:take])
         total += take
+    if total < count:
+        import warnings
+
+        warnings.warn(
+            f"non-edge sampling undersampled: got {total} of {count} requested "
+            f"pairs after {attempts} rounds (graph too dense?); edge-detection "
+            "metrics will extrapolate from the smaller sample",
+            stacklevel=2,
+        )
     if not got:
         return np.empty((0, 2), dtype=np.int64)
     return np.concatenate(got, axis=0)

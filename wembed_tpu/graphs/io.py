@@ -5,8 +5,10 @@ Formats are byte-compatible with the reference:
     (reference src/graphLib/src/graphIO/GraphIO.cpp:10-126)
   * bipartite edge lists — '#psizes a b' header, colors 0/1
     (GraphIO.cpp:66-126)
-  * coordinate CSVs — 'id,c1,...,cd[,weight]' rows, '%' comments, 17-digit
-    precision (reference src/embeddingLib/src/embeddingIO/EmbeddingIO.cpp:110-222)
+  * coordinate CSVs — 'id,c1,...,cd[,weight]' rows, '%' comments; values are
+    written with Python ``repr`` (shortest round-trip representation), which
+    preserves every bit like the reference's 17-significant-digit printf
+    (reference src/embeddingLib/src/embeddingIO/EmbeddingIO.cpp:110-222)
 """
 
 from __future__ import annotations
@@ -21,21 +23,56 @@ def read_edge_list(path: str, comment: str = "#", delimiter: str | None = None) 
 
     ``delimiter=None`` splits on any whitespace (the reference uses a single
     space, GraphIO.cpp:10; whitespace-splitting is a superset).
+
+    Large files go through the native C parser (_native/labelprop.cpp,
+    ``wembed_parse_edge_list``) — the pure-Python per-line loop would take
+    minutes on the 100M-edge scale targets (reference parser:
+    src/graphLib/src/graphIO/GraphIO.cpp:10-51, C++).
     """
-    pairs = []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith(comment):
-                continue
-            tokens = line.split(delimiter)
-            if len(tokens) < 2:
-                continue
-            try:
-                pairs.append((int(tokens[0]), int(tokens[1])))
-            except ValueError:
-                continue
-    return from_edges(np.asarray(pairs, dtype=np.int64).reshape(-1, 2))
+    pairs_arr = _read_pairs_native(path, comment) if delimiter is None else None
+    if pairs_arr is None:
+        pairs = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith(comment):
+                    continue
+                tokens = line.split(delimiter)
+                if len(tokens) < 2:
+                    continue
+                try:
+                    pairs.append((int(tokens[0]), int(tokens[1])))
+                except ValueError:
+                    continue
+        pairs_arr = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    return from_edges(pairs_arr)
+
+
+def _read_pairs_native(path: str, comment: str) -> np.ndarray | None:
+    """(k, 2) int64 edge pairs via the native parser, or None to fall back."""
+    if len(comment) != 1:
+        return None
+    from .._native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    import os
+
+    # every parsed line consumes >= 4 bytes ("a b\n" + 1), so size // 4 + 1
+    # upper-bounds the edge count — one pass, no re-parse
+    capacity = os.path.getsize(path) // 4 + 1
+    buf = np.empty((capacity, 2), dtype=np.int64)
+    count = lib.wembed_parse_edge_list(
+        path.encode(),
+        comment.encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        capacity,
+    )
+    if count < 0 or count > capacity:
+        return None
+    return buf[:count].copy()
 
 
 def write_edge_list(path: str, g: CSRGraph) -> None:
@@ -104,8 +141,9 @@ def read_coordinates(path: str, comment: str = "%", delimiter: str = ",") -> np.
 def write_coordinates(
     path: str, positions: np.ndarray, weights: np.ndarray | None = None
 ) -> None:
-    """Write 'id,c1,...,cd[,weight]' rows at 17 significant digits
-    (EmbeddingIO.cpp:194-222)."""
+    """Write 'id,c1,...,cd[,weight]' rows; ``repr`` emits the shortest
+    round-trip decimal, bit-preserving like the reference's 17-digit
+    output (EmbeddingIO.cpp:194-222)."""
     positions = np.asarray(positions)
     with open(path, "w") as f:
         for i in range(positions.shape[0]):
