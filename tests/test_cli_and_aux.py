@@ -180,3 +180,67 @@ def test_timer_tree():
     assert [r.display_name for r in res] == ["Phase A", "Phase B"]
     assert [r.depth for r in res] == [0, 1]
     assert "Phase A" in timings_to_string(res)
+
+
+def test_layered_checkpoint_resumes_mid_hierarchy(tmp_path):
+    """A multilevel run checkpointed mid-hierarchy must resume with the
+    SAME hierarchy (saved parent pointers, not re-coarsened) and continue
+    the inner embedder bit-for-bit (the reference cannot resume layered
+    runs at all, LayeredEmbedder.cpp:26-36)."""
+    from wembed_tpu.multilevel import LayeredEmbedder
+
+    set_seed(21)
+    g, _ = generators.geometric_graph(300, rng=np.random.default_rng(2))
+    opts = EmbedderOptions(embedding_dimension=2, max_iterations=40,
+                           position_min_change=0.0)
+    emb = LayeredEmbedder(g, opts, verbose=False)
+    # step until at least one expansion happened (mid-hierarchy)
+    while emb.current_layer == emb.hierarchy.num_layers - 1:
+        emb.calculate_step()
+    for _ in range(3):
+        emb.calculate_step()
+    assert 0 <= emb.current_layer < emb.hierarchy.num_layers - 1
+    path = str(tmp_path / "layered.npz")
+    save_checkpoint(path, emb)
+
+    set_seed(99)  # different seed: hierarchy must come from the checkpoint
+    emb2 = LayeredEmbedder(g, opts, verbose=False)
+    load_checkpoint(path, emb2)
+    assert emb2.current_layer == emb.current_layer
+    assert emb2.current_iteration == emb.current_iteration
+    assert emb2.hierarchy.num_layers == emb.hierarchy.num_layers
+    for a, b in zip(emb.hierarchy.layers, emb2.hierarchy.layers):
+        np.testing.assert_array_equal(a.parent, b.parent)
+        assert a.graph.num_vertices == b.graph.num_vertices
+        assert a.graph.num_edges == b.graph.num_edges
+    np.testing.assert_array_equal(emb.get_coordinates(), emb2.get_coordinates())
+    for _ in range(3):
+        emb.calculate_step()
+        emb2.calculate_step()
+    np.testing.assert_array_equal(emb.get_coordinates(), emb2.get_coordinates())
+
+
+def test_debug_checks_flag(tmp_path):
+    """debug_checks (the EMBEDDING_USE_ASSERTIONS analogue,
+    Macros.hpp:7-11) passes clean runs and raises on injected NaNs."""
+    import jax
+    import jax.numpy as jnp
+
+    set_seed(3)
+    g, _ = generators.geometric_graph(60, rng=np.random.default_rng(4))
+    opts = EmbedderOptions(
+        embedding_dimension=2, max_iterations=5, debug_checks=True,
+        fused_dense="off",
+    )
+    try:
+        emb = WEmbedEmbedder(g, opts, verbose=False)
+        emb.calculate_step()  # clean step passes
+        bad = np.asarray(emb.get_coordinates())
+        bad[0, 0] = np.nan
+        emb.state = emb.state._replace(
+            positions=jnp.asarray(bad, emb.state.positions.dtype)
+        )
+        with pytest.raises(FloatingPointError):
+            emb._debug_validate()
+    finally:
+        jax.config.update("jax_debug_nans", False)

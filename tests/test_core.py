@@ -392,3 +392,53 @@ def test_bucket_colors_above_2pow24_stay_distinct():
     # all-distinct colors (default arange vs 2^24+arange) are semantically
     # identical: every non-self pair repels either way
     np.testing.assert_allclose(results[0], results[1], rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", [RepulsionMode.DENSE, RepulsionMode.BUCKET])
+def test_profiled_step_matches_normal_step(mode):
+    """Profiled (phase-split) stepping must match the fused jnp step up
+    to XLA fusion-order rounding — same RNG splits, same math, only jit
+    boundaries differ — and must produce the reference's per-phase timing
+    tree (NewWEmbedEmbedder.cpp:38-91)."""
+    set_seed(9)
+    rng = np.random.default_rng(42)
+    g, _ = generators.geometric_graph(200, rng=rng)
+    n = g.num_vertices
+    coords = rng.uniform(0, n ** 0.5, size=(n, 2))
+    opts = EmbedderOptions(
+        embedding_dimension=2, dtype="float64", repulsion_mode=mode,
+        window_capacity=n, fused_dense="off",
+    )
+    w = weights_mod.initial_weights(g, opts)
+    set_seed(9)
+    normal = _embedder(g, opts, coords, w)
+    set_seed(9)
+    profiled = WEmbedEmbedder(
+        g, opts, initial_coordinates=coords, initial_weights=w,
+        verbose=False, profile=True,
+    )
+    for _ in range(6):
+        normal.calculate_step()
+        profiled.calculate_step()
+    np.testing.assert_allclose(
+        normal.get_coordinates(), profiled.get_coordinates(),
+        rtol=1e-9, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        float(normal.state.attract_loss), float(profiled.state.attract_loss),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(normal.state.repel_loss), float(profiled.state.repel_loss),
+        rtol=1e-5,
+    )
+    assert int(normal.state.num_rep_forces) == int(profiled.state.num_rep_forces)
+
+    names = [t.display_name for t in profiled.get_timings()]
+    expected = ["attracting_forces", "repelling_forces", "apply_forces",
+                "gravity", "position_change"]
+    if mode is RepulsionMode.BUCKET:
+        expected = ["index"] + expected
+    for name in expected:
+        assert name in names, names
+    assert all(t.value > 0 for t in profiled.get_timings())

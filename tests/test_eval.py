@@ -167,3 +167,37 @@ def test_reconstruction_on_true_geometry():
     space = sp.Euclidean(coords)
     m = reconstruction_metrics(g, space, 50, rng)
     assert m["MAP"] > 0.8
+
+
+@pytest.mark.parametrize("etype", list(range(10)))
+def test_device_reconstruction_matches_host(etype):
+    """The batched device ranking kernel (eval/device.py) must reproduce
+    the host NodeSampler exactly: same sampling, same (similarity, id)
+    tie-breaking, same precision curves."""
+    from wembed_tpu.eval.device import sample_node_entries_device
+    from wembed_tpu.eval.reconstruction import sample_node_entries
+    from wembed_tpu.graphs import generators
+
+    rng = np.random.default_rng(5)
+    g, _ = generators.geometric_graph(150, rng=rng)
+    n = g.num_vertices
+    d = 2
+    coords = rng.uniform(-1, 1, size=(n, d)) * 0.5  # inside Poincare ball
+    weights = np.exp(rng.normal(size=n))
+    if etype == 4:  # mercator: kappa, radius, positions
+        cols = np.concatenate(
+            [np.ones((n, 1)), np.abs(coords[:, :1]) * 3, coords], axis=1
+        )
+    elif etype in (0, 5, 6, 9):  # weighted formats carry weight last
+        cols = np.concatenate([coords, weights[:, None]], axis=1)
+    else:
+        cols = coords
+    space = sp.parse_embedding(etype, cols)
+
+    host = sample_node_entries(g, space, 40, rng=np.random.default_rng(3))
+    dev = sample_node_entries_device(g, space, 40, rng=np.random.default_rng(3))
+    assert len(host) == len(dev)
+    for h, d_ in zip(host, dev):
+        assert h.v == d_.v and h.deg == d_.deg
+        np.testing.assert_allclose(h.deg_precision, d_.deg_precision, rtol=1e-9)
+        np.testing.assert_allclose(h.average_precision, d_.average_precision, rtol=1e-9)

@@ -22,6 +22,13 @@ def build_parser() -> argparse.ArgumentParser:
         "coordinates are initialized randomly.",
     )
     p.add_argument("--timings", action="store_true", help="Print timings after embedding")
+    p.add_argument(
+        "--profile-timings", action="store_true",
+        help="Per-phase timing tree (index/attraction/repulsion/apply/"
+        "gravity/position_change, like the reference's --timings). Runs "
+        "phase-split jits with a host sync per phase — slower than the "
+        "fused step; use for profiling, not production runs.",
+    )
     p.add_argument("--seed", type=int, default=-1,
                    help="Seed used during embedding. '-1' uses time as seed")
     p.add_argument("--layered", action="store_true", help="Use layered embedding")
@@ -76,13 +83,15 @@ def main(argv=None) -> int:
         positionMinChange=args.min_change,
     )
     embedder = wembed.createEmbedder(graph, opts)
+    if args.profile_timings:
+        embedder.impl.profile = True
 
     if args.init_coordinates:
         embedder.setCoordinates(wembed.readCoordinatesFromFile(args.init_coordinates))
 
     embedder.calculateEmbedding()
 
-    if args.timings:
+    if args.timings or args.profile_timings:
         print(wembed.timingsToString(embedder.getTimings()))
     if args.embedding:
         embedder.writeCoordinates(args.embedding)

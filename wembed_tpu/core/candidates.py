@@ -239,6 +239,154 @@ class BucketIndex:
         )
 
 
+class BucketArrays(NamedTuple):
+    """Per-step sorted member arrays of one weight bucket."""
+
+    sids: jax.Array  # (n_b,) member ids, sorted by projection
+    sproj: jax.Array  # (n_b,) sorted projection values
+    sdata: jax.Array  # (n_b, d+1) packed [pos(d), inv_w]
+    scolor: jax.Array  # (n_b,) int32 colors (separate: ids >= 2^24 stay exact)
+
+
+class CandidateStructures(NamedTuple):
+    """Everything the candidate query pass consumes — the output of the
+    per-iteration index REBUILD (the reference's ``updateIndex`` +
+    SnnModel constructor: projection + sorts,
+    NewWEmbedEmbedder.cpp:258-286, snn.cpp:97-147).  Splitting build from
+    query lets the profiled mode time the reference's "index" phase
+    separately (Timings.cpp tree shape)."""
+
+    per_bucket: tuple  # of BucketArrays
+    rank_of: jax.Array  # (n,) rank within own bucket's sorted order
+    in_index: Optional[jax.Array]  # (n,) bool when IndexSize < 1, else None
+    # light-query ordering (all None when there are no light buckets)
+    q_sorted_ids: Optional[jax.Array]  # (n_pad,) queries grouped+sorted, id n = pad
+    qpos_s: Optional[jax.Array]  # (n_pad, d)
+    qw_s: Optional[jax.Array]  # (n_pad,)
+    qinvw_s: Optional[jax.Array]  # (n_pad,)
+    qcolor_s: Optional[jax.Array]  # (n_pad,) int32
+    qproj_s: Optional[jax.Array]  # (n_pad,)
+    qreal_s: Optional[jax.Array]  # (n_pad,) bool
+    block_of: Optional[jax.Array]  # (n,) query block id per vertex
+
+
+def light_padded_size(index: BucketIndex) -> int:
+    """Static padded light-query count (whole _QUERY_BLOCK blocks)."""
+    return int(
+        sum(
+            _round_up(b.members.shape[0], _QUERY_BLOCK)
+            for b in index.buckets
+            if not b.heavy_queries
+        )
+    )
+
+
+def build_structures(
+    positions: jax.Array,
+    inv_w: jax.Array,
+    weights: jax.Array,
+    colors: jax.Array,
+    index: BucketIndex,
+    opts: EmbedderOptions,
+    key: jax.Array,
+) -> CandidateStructures:
+    """Per-iteration index rebuild: project all positions onto the global
+    principal axis, sort each bucket's members (and the light queries,
+    grouped by their own bucket) by that projection.  Pure and replicated —
+    under sharding every device computes it identically (O(n log n))."""
+    n, d = positions.shape
+    dtype = positions.dtype
+
+    key_iter = jax.random.split(key, len(index.buckets) + 1)
+
+    # ---- global projection axis
+    mean = jnp.mean(positions, axis=0)
+    centered = positions - mean
+    axis = _principal_axis(centered)
+    qproj = centered @ axis  # (n,)
+
+    # ---- per-bucket member structures (sorted by projection) + ranks +
+    # per-step sampled-membership mask
+    per_bucket = []
+    rank_of = jnp.full((n,), _NO_RANK, jnp.int32)
+    subsampled = any(b.sample_size < b.members.shape[0] for b in index.buckets)
+    in_index = jnp.zeros((n,), bool) if subsampled else None
+    for bi, bucket in enumerate(index.buckets):
+        members = jnp.asarray(bucket.members)
+        if bucket.sample_size < bucket.members.shape[0]:
+            # IndexSize < 1: re-sample the inserted members each step
+            # (reference NewWEmbedEmbedder.cpp:271-285; stratified per bucket
+            # here so shapes stay static — documented deviation)
+            perm = jax.random.permutation(key_iter[bi + 1], members.shape[0])
+            members = members[perm[: bucket.sample_size]]
+        if subsampled:
+            in_index = in_index.at[members].set(True)
+        mproj = qproj[members]
+        order = jnp.argsort(mproj)
+        sids = members[order]
+        sproj = mproj[order]
+        # packed sorted member data [pos(d), inv_w]: the hot span pass
+        # gathers ONE float row per candidate.  Colors stay a SEPARATE
+        # int32 array (same span indices) — packing them as floats would
+        # silently collide distinct ids >= 2^24 after the float32 cast.
+        sdata = jnp.concatenate(
+            [positions[sids], inv_w[sids].astype(dtype)[:, None]], axis=1
+        )
+        scolor = colors[sids]
+        rank_of = rank_of.at[sids].set(jnp.arange(sids.shape[0], dtype=jnp.int32))
+        per_bucket.append(BucketArrays(sids, sproj, sdata, scolor))
+
+    # ---- light-query ordering: group queries by their own weight bucket,
+    # sort each group by projection, pad each group to whole blocks.
+    # Blocks are then radius-homogeneous, so spans stay tight under
+    # power-law weights.
+    light_buckets = [b for b in index.buckets if not b.heavy_queries]
+    q_segments = []
+    for bucket in light_buckets:
+        mem = jnp.asarray(bucket.members)
+        order_q = jnp.argsort(qproj[mem])
+        ids_sorted = mem[order_q]
+        n_a = bucket.members.shape[0]
+        seg_pad = _round_up(n_a, _QUERY_BLOCK) - n_a
+        q_segments.append(
+            jnp.concatenate([ids_sorted, jnp.full((seg_pad,), n, ids_sorted.dtype)])
+        )
+    n_pad = light_padded_size(index)
+    qs = dict.fromkeys(
+        ("q_sorted_ids", "qpos_s", "qw_s", "qinvw_s", "qcolor_s", "qproj_s",
+         "qreal_s", "block_of")
+    )
+    if n_pad > 0:
+        q_sorted_ids = jnp.concatenate(q_segments)  # sentinel id = n
+        # query-side arrays with a sentinel row appended (id n selects it)
+        pos_ext = jnp.concatenate([positions, jnp.full((1, d), _SENTINEL_POS, dtype)])
+        qs["q_sorted_ids"] = q_sorted_ids
+        qs["qpos_s"] = pos_ext[q_sorted_ids]
+        qs["qw_s"] = jnp.concatenate(
+            [weights.astype(dtype), jnp.ones((1,), dtype)]
+        )[q_sorted_ids]
+        qs["qinvw_s"] = jnp.concatenate(
+            [inv_w.astype(dtype), jnp.ones((1,), dtype)]
+        )[q_sorted_ids]
+        qs["qcolor_s"] = jnp.concatenate(
+            [colors, jnp.full((1,), -2, colors.dtype)]
+        )[q_sorted_ids]
+        qs["qproj_s"] = jnp.concatenate(
+            [qproj, jnp.full((1,), _SENTINEL_POS, dtype)]
+        )[q_sorted_ids]
+        qs["qreal_s"] = q_sorted_ids < n
+        # per-query block id, for the correction pass
+        block_ids_sorted = jnp.arange(n_pad, dtype=jnp.int32) // _QUERY_BLOCK
+        qs["block_of"] = (
+            jnp.zeros((n,), jnp.int32)
+            .at[q_sorted_ids]
+            .set(block_ids_sorted, mode="drop")
+        )
+    return CandidateStructures(
+        per_bucket=tuple(per_bucket), rank_of=rank_of, in_index=in_index, **qs
+    )
+
+
 def _principal_axis(x_centered: jax.Array, iters: int = 12) -> jax.Array:
     """First principal axis of centered rows via power iteration on the
     (d, d) covariance — replaces SNN's BDCSVD (reference
@@ -267,6 +415,7 @@ def bucket_repulsion_forces(
     opts: EmbedderOptions,
     key: jax.Array,
     shard: tuple[str, int] | None = None,
+    structures: CandidateStructures | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sparse repulsion over bucketed candidate spans + dense heavy rows.
 
@@ -277,6 +426,10 @@ def bucket_repulsion_forces(
     numRepForceCalculations (NewWEmbedEmbedder.cpp:321-332).  ``overflow``
     counts members dropped by span truncation (zero when spans suffice;
     surfaced because the reference's exact index cannot truncate).
+
+    ``structures`` (from ``build_structures`` on the SAME positions) lets
+    the profiled mode time the index rebuild separately; omitted, the
+    rebuild happens inline — identical results either way.
 
     With ``shard=(axis_name, P)`` (inside shard_map) the sorted structures
     are computed replicated (cheap: O(n log n)), while the block x span
@@ -300,7 +453,6 @@ def bucket_repulsion_forces(
         is_first_shard = jnp.asarray(True)
 
     colors = dg.colors
-    key_iter = jax.random.split(key, len(index.buckets) + 1)
 
     force = jnp.zeros((n, d), dtype)
     loss = jnp.asarray(0.0, jnp.float32)
@@ -308,90 +460,28 @@ def bucket_repulsion_forces(
     overflow = jnp.asarray(0, jnp.int32)
     zero_count = jnp.zeros((n,), jnp.int32)
 
-    # ---- global projection axis
-    mean = jnp.mean(positions, axis=0)
-    centered = positions - mean
-    axis = _principal_axis(centered)
-    qproj = centered @ axis  # (n,)
-
-    # ---- per-bucket member structures (sorted by projection) + ranks +
-    # per-step sampled-membership mask
-    structs = []
-    rank_of = jnp.full((n,), _NO_RANK, jnp.int32)
-    subsampled = any(
-        b.sample_size < b.members.shape[0] for b in index.buckets
-    )
-    in_index = None
-    if subsampled:
-        in_index = jnp.zeros((n,), bool)
-    for bi, bucket in enumerate(index.buckets):
-        members = jnp.asarray(bucket.members)
-        if bucket.sample_size < bucket.members.shape[0]:
-            # IndexSize < 1: re-sample the inserted members each step
-            # (reference NewWEmbedEmbedder.cpp:271-285; stratified per bucket
-            # here so shapes stay static — documented deviation)
-            perm = jax.random.permutation(key_iter[bi + 1], members.shape[0])
-            members = members[perm[: bucket.sample_size]]
-        if subsampled:
-            in_index = in_index.at[members].set(True)
-        mproj = qproj[members]
-        order = jnp.argsort(mproj)
-        sids = members[order]
-        sproj = mproj[order]
-        # packed sorted member data [pos(d), inv_w]: the hot span pass
-        # gathers ONE float row per candidate.  Colors stay a SEPARATE
-        # int32 array (same span indices) — packing them as floats would
-        # silently collide distinct ids >= 2^24 after the float32 cast.
-        sdata = jnp.concatenate(
-            [positions[sids], inv_w[sids].astype(dtype)[:, None]], axis=1
+    if structures is None:
+        structures = build_structures(
+            positions, inv_w, weights, colors, index, opts, key
         )
-        scolor = colors[sids]
-        rank_of = rank_of.at[sids].set(jnp.arange(sids.shape[0], dtype=jnp.int32))
-        structs.append((bucket, sids, sproj, sdata, scolor))
+    structs = [
+        (bucket, ba.sids, ba.sproj, ba.sdata, ba.scolor)
+        for bucket, ba in zip(index.buckets, structures.per_bucket)
+    ]
+    rank_of = structures.rank_of
+    in_index = structures.in_index
 
-    # ---- light-query ordering: group queries by their own weight bucket,
-    # sort each group by projection, pad each group to whole blocks.
-    # Blocks are then radius-homogeneous, so spans stay tight under
-    # power-law weights.
-    light_buckets = [b for b in index.buckets if not b.heavy_queries]
-    q_segments = []
-    for bucket in light_buckets:
-        mem = jnp.asarray(bucket.members)
-        order_q = jnp.argsort(qproj[mem])
-        ids_sorted = mem[order_q]
-        n_a = bucket.members.shape[0]
-        seg_pad = _round_up(n_a, _QUERY_BLOCK) - n_a
-        q_segments.append(
-            jnp.concatenate([ids_sorted, jnp.full((seg_pad,), n, ids_sorted.dtype)])
-        )
-    n_pad = int(
-        sum(_round_up(b.members.shape[0], _QUERY_BLOCK) for b in light_buckets)
-    )
+    n_pad = light_padded_size(index)
     if n_pad > 0:
-        q_sorted_ids = jnp.concatenate(q_segments)  # sentinel id = n
+        q_sorted_ids = structures.q_sorted_ids
         nblocks = n_pad // _QUERY_BLOCK
-
-        # query-side arrays with a sentinel row appended (id n selects it)
-        pos_ext = jnp.concatenate([positions, jnp.full((1, d), _SENTINEL_POS, dtype)])
-        qpos_s = pos_ext[q_sorted_ids]
-        qw_s = jnp.concatenate([weights.astype(dtype), jnp.ones((1,), dtype)])[
-            q_sorted_ids
-        ]
-        qinvw_s = jnp.concatenate([inv_w.astype(dtype), jnp.ones((1,), dtype)])[
-            q_sorted_ids
-        ]
-        qcolor_s = jnp.concatenate([colors, jnp.full((1,), -2, colors.dtype)])[
-            q_sorted_ids
-        ]
-        qproj_s = jnp.concatenate([qproj, jnp.full((1,), _SENTINEL_POS, dtype)])[
-            q_sorted_ids
-        ]
-        qreal_s = q_sorted_ids < n
-
-        # per-query block id, for the correction pass
-        block_of = jnp.zeros((n,), jnp.int32)
-        block_ids_sorted = jnp.arange(n_pad, dtype=jnp.int32) // _QUERY_BLOCK
-        block_of = block_of.at[q_sorted_ids].set(block_ids_sorted, mode="drop")
+        qpos_s = structures.qpos_s
+        qw_s = structures.qw_s
+        qinvw_s = structures.qinvw_s
+        qcolor_s = structures.qcolor_s
+        qproj_s = structures.qproj_s
+        qreal_s = structures.qreal_s
+        block_of = structures.block_of
 
         qp_blocks = qpos_s.reshape(nblocks, _QUERY_BLOCK, d)
         qcolor_blocks = qcolor_s.reshape(nblocks, _QUERY_BLOCK)

@@ -57,11 +57,18 @@ class WEmbedEmbedder:
         initial_coordinates: np.ndarray | None = None,
         initial_weights: np.ndarray | None = None,
         verbose: bool = True,
+        profile: bool = False,
     ):
         self.graph = graph
         self.opts = opts or EmbedderOptions()
         self.timer = timer or Timer()
         self.verbose = verbose
+        # profiled mode: phase-split jits with block_until_ready between
+        # phases, so getTimings() yields the reference's per-phase tree
+        # (NewWEmbedEmbedder.cpp:38-91) at the cost of lost XLA fusion
+        # across phases and one host sync per phase
+        self.profile = profile
+        self._phase_fns = None
         self._dtype = jnp.float64 if self.opts.dtype == "float64" else jnp.float32
         self._dg = DeviceGraph.build(graph)
         n, d = graph.num_vertices, self.opts.embedding_dimension
@@ -70,6 +77,12 @@ class WEmbedEmbedder:
             initial_weights = weights_mod.initial_weights(graph, self.opts)
         if initial_coordinates is None:
             initial_coordinates = random_positions(n, d, rng_mod.host_rng())
+
+        if self.opts.debug_checks:
+            # reference EMBEDDING_USE_ASSERTIONS equivalent (Macros.hpp:7-11):
+            # jit raises at the op that produced a NaN.  Global JAX config by
+            # necessity — documented side effect of the debug flag.
+            jax.config.update("jax_debug_nans", True)
 
         self._state = init_state(
             np.asarray(initial_coordinates, dtype=np.float64),
@@ -106,6 +119,7 @@ class WEmbedEmbedder:
             )
         self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)
         self._jitted_step = jax.jit(self._step_fn)
+        self._phase_fns = None  # rebuilt lazily on the next profiled step
 
     def _grow_spans(self) -> bool:
         """Double candidate spans (up to a cap); returns True if grown.
@@ -137,10 +151,17 @@ class WEmbedEmbedder:
                 pos_change=jnp.asarray(0.0, jnp.float32),
             )
             return
-        with self.timer.phase("step", "Embedding step"):
-            self._state = self._jitted_step(self._state, self._weights, self._inv_w)
-            self._state.positions.block_until_ready()
+        if self.profile:
+            self._calculate_step_profiled()
+        else:
+            with self.timer.phase("step", "Embedding step"):
+                self._state = self._jitted_step(
+                    self._state, self._weights, self._inv_w
+                )
+                self._state.positions.block_until_ready()
         it = int(self._state.iteration)
+        if self.opts.debug_checks:
+            self._debug_validate()
         if self.opts.dump_weights:
             self._dump_weights(it)
         if self.verbose and (it == 1 or (it > 0 and it % 10 == 0)):
@@ -148,6 +169,92 @@ class WEmbedEmbedder:
                 f"(Iteration {it}: #rep forces {int(self._state.num_rep_forces)}, "
                 f"relative pos change: {float(self._state.pos_change)})"
             )
+
+    def _calculate_step_profiled(self) -> None:
+        """One step as phase-split jits, timed like the reference's
+        calculateStep (index / attracting_forces / repelling_forces /
+        apply_forces / gravity / position_change,
+        NewWEmbedEmbedder.cpp:38-91).  Results match the unfused jnp step
+        up to XLA fusion-order rounding (same RNG splits, same math, only
+        the jit boundaries differ)."""
+        if self._phase_fns is None:
+            self._phase_fns = step_mod.build_phase_fns(
+                self._dg, self.opts, self._index
+            )
+        fns = self._phase_fns
+        st = self._state
+        keys = jax.block_until_ready(fns["split4"](st.key))
+        key_next, att_key, rep_key, kick_key = keys[0], keys[1], keys[2], keys[3]
+        old_positions = st.positions
+
+        structures = None
+        if fns["index"] is not None:
+            with self.timer.phase("index"):
+                structures = jax.block_until_ready(
+                    fns["index"](old_positions, self._weights, self._inv_w, rep_key)
+                )
+        with self.timer.phase("attracting_forces"):
+            force_att, att_loss = jax.block_until_ready(
+                fns["attract"](old_positions, self._inv_w, att_key)
+            )
+        with self.timer.phase("repelling_forces"):
+            if fns["kind"] == "bucket":
+                rep = fns["repel"](
+                    old_positions, self._weights, self._inv_w, rep_key, structures
+                )
+            elif fns["kind"] == "dense":
+                rep = fns["repel"](old_positions, self._inv_w)
+            else:
+                rep = fns["repel"](old_positions, self._inv_w, rep_key)
+            rep_force, rep_loss, rep_count, overflow, zero_count = (
+                jax.block_until_ready(rep)
+            )
+        with self.timer.phase("apply_forces"):
+            positions, m, v, t = jax.block_until_ready(
+                fns["apply"](st, force_att, rep_force, zero_count, kick_key)
+            )
+        with self.timer.phase("gravity"):
+            positions = jax.block_until_ready(fns["gravity"](positions))
+        with self.timer.phase("position_change"):
+            pos_change = jax.block_until_ready(
+                fns["pos_change"](old_positions, positions)
+            )
+        self._state = EmbedState(
+            positions=positions,
+            adam_m=m,
+            adam_v=v,
+            iteration=t,
+            key=key_next,
+            attract_loss=att_loss,
+            repel_loss=rep_loss,
+            pos_change=pos_change,
+            num_rep_forces=rep_count,
+            overflow=overflow,
+        )
+
+    def _debug_validate(self) -> None:
+        """Raise FloatingPointError if any state leaf went non-finite —
+        the runtime analogue of the reference's deep ASSERT/NaN-poisoning
+        machinery (DVec.hpp:89-94,693-697)."""
+        s = self._state
+        for name, arr in [
+            ("positions", s.positions),
+            ("adam_m", s.adam_m),
+            ("adam_v", s.adam_v),
+            ("attract_loss", s.attract_loss),
+            ("repel_loss", s.repel_loss),
+            ("pos_change", s.pos_change),
+        ]:
+            a = np.asarray(arr)
+            bad = ~np.isfinite(a)
+            # pos_change is inf before the first step by construction
+            if name == "pos_change" and int(s.iteration) == 0:
+                continue
+            if bad.any():
+                raise FloatingPointError(
+                    f"debug_checks: {int(bad.sum())} non-finite entries in "
+                    f"{name} at iteration {int(s.iteration)}"
+                )
 
     def _dump_weights(self, iteration: int) -> None:
         """Append the current weights to weight_dump.txt — truncate on the
@@ -170,13 +277,27 @@ class WEmbedEmbedder:
                 pos_change=jnp.asarray(0.0, jnp.float32)
             )
             return
-        if self.opts.dump_weights:
-            # the reference dumps once per iteration from inside
-            # calculateStep (NewWEmbedEmbedder.cpp:36), so the debug path
-            # steps host-side instead of the device while-loop
+        if self.opts.dump_weights or self.profile:
+            # host-side per-step loop: weight dumping needs a host action
+            # per iteration (reference NewWEmbedEmbedder.cpp:36), and
+            # profiled mode needs per-phase host syncs.  Span growth on
+            # overflow works the same as the device-loop path below.
             with self.timer.phase("embedding_all", "Embedding"):
-                while not self.is_finished():
-                    self.calculate_step()
+                while True:
+                    while not self.is_finished():
+                        self.calculate_step()
+                    if int(self._state.iteration) >= self.opts.max_iterations:
+                        break
+                    if int(self._state.overflow) == 0 or not self._grow_spans():
+                        break
+                    if self.verbose:
+                        print(
+                            f"(growing candidate spans to x{self._span_scale:g} "
+                            f"after overflow {int(self._state.overflow)})"
+                        )
+                    self._state = self._state._replace(
+                        pos_change=jnp.asarray(jnp.inf, jnp.float32)
+                    )
             return
         with self.timer.phase("embedding_all", "Embedding"):
             while True:
@@ -205,6 +326,8 @@ class WEmbedEmbedder:
                 self._state = self._state._replace(
                     pos_change=jnp.asarray(jnp.inf, jnp.float32)
                 )
+        if self.opts.debug_checks:
+            self._debug_validate()
 
     # ------------------------------------------------------------- accessors
     @property

@@ -79,6 +79,11 @@ class EmbedderOptions:
     # "on"/"off" force it, "interpret" runs the kernel in interpreter mode
     # (CPU-testable, slow)
     fused_dense: str = "auto"
+    # debug mode, the analogue of the reference's EMBEDDING_USE_ASSERTIONS
+    # toggle (Macros.hpp:7-11, CMakeLists.txt:65-68): enables
+    # jax_debug_nans (jit raises where a NaN is produced) and validates
+    # that the whole state pytree is finite after every host-visible step
+    debug_checks: bool = False
 
     def resolve_repulsion_mode(self, n: int) -> RepulsionMode:
         if self.num_negative_samples >= 0:

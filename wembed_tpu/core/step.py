@@ -66,6 +66,130 @@ def resolve_fused(dg: DeviceGraph, opts: EmbedderOptions, shard) -> str | None:
     return "compiled" if _tpu_backend() else None
 
 
+def _apply_optimizer(opts, hp, old_positions, force, state, t):
+    """Positions + fresh moment arrays after one optimizer update.
+
+    SIMPLE is the reference's clip-then-cooled-LR optimizer
+    (SimpleOptimizer.cpp:17-41, maxDisplacement=1); it keeps the
+    (unused) Adam moments untouched."""
+    if opts.optimizer_type is OptimizerType.SIMPLE:
+        positions = simple_update(
+            old_positions, force, t, opts.learning_rate, opts.cooling_factor
+        )
+        return positions, state.adam_m, state.adam_v
+    return adam_update(old_positions, force, state.adam_m, state.adam_v, t, hp)
+
+
+def build_phase_fns(
+    dg: DeviceGraph,
+    opts: EmbedderOptions,
+    index: cand_mod.BucketIndex | None,
+) -> dict:
+    """Phase-split jitted functions for the PROFILED step.
+
+    One normal step is a single fused jit — XLA overlaps everything and no
+    per-phase breakdown exists.  The profiled mode instead runs one jit per
+    reference phase (index / attracting_forces / repelling_forces /
+    apply_forces / gravity / position_change,
+    NewWEmbedEmbedder.cpp:38-91) with block_until_ready between them, so
+    ``getTimings()`` can produce the reference's tree.  Semantics are
+    identical to the unfused jnp step (same RNG key splits); the fused
+    Pallas kernel is bypassed (it cannot be split), so profiled trajectories
+    match the ``fused_dense="off"`` step bit-for-bit, not the fused one.
+    """
+    mode = opts.resolve_repulsion_mode(dg.n)
+    use_sampling = opts.num_negative_samples >= 0
+    dense_adj = None
+    if not use_sampling and mode is RepulsionMode.DENSE:
+        dense_adj = forces.build_dense_adjacency(dg)
+    hp = AdamParams(opts.learning_rate, opts.cooling_factor)
+
+    split4 = jax.jit(lambda key: jax.random.split(key, 4))
+
+    index_fn = None
+    repel_kind = "sampled" if use_sampling else (
+        "dense" if mode is RepulsionMode.DENSE else "bucket"
+    )
+    if repel_kind == "bucket":
+
+        @jax.jit
+        def index_fn(positions, weights, inv_w, rep_key):
+            return cand_mod.build_structures(
+                positions, inv_w, weights, dg.colors, index, opts, rep_key
+            )
+
+    @jax.jit
+    def attract_fn(positions, inv_w, att_key):
+        return forces.attraction_forces(positions, inv_w, dg, opts, att_key)
+
+    if repel_kind == "bucket":
+
+        @jax.jit
+        def repel_fn(positions, weights, inv_w, rep_key, structures):
+            return cand_mod.bucket_repulsion_forces(
+                positions, inv_w, weights, dg, index, opts, rep_key,
+                structures=structures,
+            )
+
+    elif repel_kind == "dense":
+
+        @jax.jit
+        def repel_fn(positions, inv_w):
+            f, loss, cnt, zero = forces.dense_repulsion_forces(
+                positions, inv_w, dense_adj, dg.colors, opts
+            )
+            return f, loss, cnt, jnp.asarray(0, jnp.int32), zero
+
+    else:
+
+        @jax.jit
+        def repel_fn(positions, inv_w, rep_key):
+            if opts.num_negative_samples == 0:
+                n = positions.shape[0]
+                return (
+                    jnp.zeros_like(positions),
+                    jnp.asarray(0.0, jnp.float32),
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32),
+                    jnp.zeros((n,), jnp.int32),
+                )
+            f, loss, cnt, zero = forces.sampled_repulsion_forces(
+                positions, inv_w, dg, opts, rep_key
+            )
+            return f, loss, cnt, jnp.asarray(0, jnp.int32), zero
+
+    @jax.jit
+    def apply_fn(state, force_att, force_rep, zero_count, kick_key):
+        force = force_att + force_rep
+
+        def with_kicks(f):
+            kicks = forces.random_unit_vectors(
+                kick_key, (dg.n,), state.positions.shape[1], state.positions.dtype
+            )
+            return f + kicks * zero_count[:, None].astype(state.positions.dtype)
+
+        force = lax.cond(jnp.any(zero_count > 0), with_kicks, lambda f: f, force)
+        if opts.centre_scale != 0.0:
+            force = force + forces.centre_forces(state.positions, opts)
+        t = state.iteration + 1
+        positions, m, v = _apply_optimizer(opts, hp, state.positions, force, state, t)
+        return positions, m, v, t
+
+    gravity_fn = jax.jit(forces.apply_gravity_centre)
+    pos_change_fn = jax.jit(forces.mean_squared_displacement)
+
+    return {
+        "kind": repel_kind,
+        "split4": split4,
+        "index": index_fn,
+        "attract": attract_fn,
+        "repel": repel_fn,
+        "apply": apply_fn,
+        "gravity": gravity_fn,
+        "pos_change": pos_change_fn,
+    }
+
+
 def build_step(
     dg: DeviceGraph,
     opts: EmbedderOptions,
@@ -101,18 +225,7 @@ def build_step(
         dense_adj = forces.build_dense_adjacency(dg)
     hp = AdamParams(opts.learning_rate, opts.cooling_factor)
 
-    def apply_optimizer(old_positions, force, state, t):
-        """Positions + fresh moment arrays after one optimizer update.
-
-        SIMPLE is the reference's clip-then-cooled-LR optimizer
-        (SimpleOptimizer.cpp:17-41, maxDisplacement=1); it keeps the
-        (unused) Adam moments untouched."""
-        if opts.optimizer_type is OptimizerType.SIMPLE:
-            positions = simple_update(
-                old_positions, force, t, opts.learning_rate, opts.cooling_factor
-            )
-            return positions, state.adam_m, state.adam_v
-        return adam_update(old_positions, force, state.adam_m, state.adam_v, t, hp)
+    apply_optimizer = partial(_apply_optimizer, opts, hp)
 
     def fused_step(
         state: EmbedState, weights: jax.Array, inv_w: jax.Array

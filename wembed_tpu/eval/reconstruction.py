@@ -70,10 +70,28 @@ def reconstruction_metrics(
     space: Space,
     num_node_samples: int = 1000,
     rng: np.random.Generator | None = None,
+    method: str = "auto",
 ) -> dict[str, float]:
     """constructDeg (mean precision@degree) and MAP
-    (Reconstruction.cpp:6-30)."""
-    entries = sample_node_entries(g, space, num_node_samples, rng)
+    (Reconstruction.cpp:6-30).
+
+    ``method``: "device" runs the batched jnp ranking kernel
+    (eval/device.py — the TPU path, O(n) memory per block), "host" the
+    numpy loop, "auto" prefers the device kernel and falls back to host
+    for spaces without a jnp row implementation."""
+    if method not in ("auto", "host", "device"):
+        raise ValueError(f"unknown reconstruction method {method!r}")
+    if method != "host":
+        try:
+            from .device import sample_node_entries_device
+
+            entries = sample_node_entries_device(g, space, num_node_samples, rng)
+        except NotImplementedError:
+            if method == "device":
+                raise
+            entries = sample_node_entries(g, space, num_node_samples, rng)
+    else:
+        entries = sample_node_entries(g, space, num_node_samples, rng)
     if not entries:
         return {"constructDeg": 0.0, "MAP": 0.0}
     return {

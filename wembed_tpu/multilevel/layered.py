@@ -36,12 +36,14 @@ class LayeredEmbedder:
         partitioner_opts=None,
         expansion_mode: ExpansionMode = ExpansionMode.REFERENCE,
         verbose: bool = True,
+        profile: bool = False,
     ):
         self.graph = graph
         self.opts = opts or EmbedderOptions()
         self.timer = timer or Timer()
         self.expansion_mode = expansion_mode
         self.verbose = verbose
+        self.profile = profile
 
         result = coarsen_all_layers(graph, opts=partitioner_opts)
         self.hierarchy = GraphHierarchy.build(result)
@@ -52,6 +54,7 @@ class LayeredEmbedder:
             self.opts,
             timer=self.timer,
             verbose=verbose,
+            profile=profile,
         )
 
     # ------------------------------------------------------------- stepping
@@ -124,6 +127,7 @@ class LayeredEmbedder:
                 initial_coordinates=new_positions,
                 initial_weights=new_weights,
                 verbose=self.verbose,
+                profile=self.profile,
             )
 
     # ------------------------------------------------------------ accessors
