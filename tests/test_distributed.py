@@ -97,3 +97,104 @@ def test_sharded_negative_sampling_runs():
     state = run(holder.state, holder._weights, holder._inv_w)
     assert np.isfinite(np.asarray(state.positions)).all()
     assert int(state.num_rep_forces) > 0
+
+
+# ------------------------------------------------------- vertex-sharded halo
+
+
+@pytest.mark.parametrize("mode", [RepulsionMode.DENSE, RepulsionMode.BUCKET])
+def test_halo_step_matches_single_chip(mode):
+    """The vertex-sharded halo step (distributed/halo.py) must reproduce
+    the single-chip trajectory: sharded state, halo-exchanged attraction,
+    reduce-scattered repulsion."""
+    from wembed_tpu.distributed.halo import HaloEmbedder
+
+    g, opts, coords, w = _setup(mode)
+    mesh = make_mesh(8)
+
+    set_seed(33)
+    single = WEmbedEmbedder(
+        g, opts, initial_coordinates=coords, initial_weights=w, verbose=False
+    )
+    set_seed(33)
+    halo = HaloEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    for _ in range(5):
+        single.calculate_step()
+        halo.calculate_step()
+    np.testing.assert_allclose(
+        halo.get_coordinates(), single.get_coordinates(), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(halo.state.attract_loss), float(single.state.attract_loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(halo.state.repel_loss), float(single.state.repel_loss),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert int(halo.state.num_rep_forces) == int(single.state.num_rep_forces)
+    # per-device persistent rows really are sharded
+    shard_shapes = {
+        s.data.shape for s in halo.state.positions.addressable_shards
+    }
+    assert shard_shapes == {(halo.plan.R, 2)}
+
+
+def test_halo_state_memory_is_sharded():
+    """Per-device memory of the big per-vertex arrays is O(n/P): every
+    shard holds exactly R = n_pad/P rows of positions and moments."""
+    from wembed_tpu.distributed.halo import HaloEmbedder
+
+    g, opts, coords, w = _setup(RepulsionMode.BUCKET, n=250, seed=11)
+    mesh = make_mesh(8)
+    halo = HaloEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    for arr in (halo.state.positions, halo.state.adam_m, halo.state.adam_v):
+        for s in arr.addressable_shards:
+            assert s.data.shape[0] == halo.plan.R
+
+
+def test_halo_while_loop_convergence_soak():
+    """Sharded convergence soak (VERDICT item 10): run the halo while-loop
+    driver to convergence and compare against the single-chip device loop."""
+    from wembed_tpu.distributed.halo import HaloEmbedder
+
+    g, opts, coords, w = _setup(RepulsionMode.BUCKET, n=200, seed=9)
+    opts = EmbedderOptions(
+        **{**opts.__dict__, "max_iterations": 1000, "position_min_change": 1e-4}
+    )
+    mesh = make_mesh(8)
+    set_seed(44)
+    single = WEmbedEmbedder(
+        g, opts, initial_coordinates=coords, initial_weights=w, verbose=False
+    )
+    single.calculate_embedding()
+    set_seed(44)
+    halo = HaloEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    halo.calculate_embedding()
+    # hinge forces + Adam make long trajectories chaotic: psum summation
+    # order differs from the single-chip sum at ~1e-16 per step and
+    # amplifies, so coordinate-level equality is only checkable for a few
+    # steps (test above).  At convergence, compare the physics instead:
+    # iteration count, loss levels, and displacement below threshold.
+    assert single.iteration < opts.max_iterations  # actually converged
+    assert halo.iteration < opts.max_iterations
+    assert float(halo.state.pos_change) < opts.position_min_change
+    assert abs(halo.iteration - single.iteration) <= 0.25 * single.iteration
+    np.testing.assert_allclose(
+        float(halo.state.attract_loss), float(single.state.attract_loss),
+        rtol=0.05,
+    )
+    # repulsion loss is near zero at convergence (the hinge is satisfied),
+    # so its relative run-to-run noise is large — compare loosely
+    np.testing.assert_allclose(
+        float(halo.state.repel_loss), float(single.state.repel_loss),
+        rtol=0.25, atol=1.0,
+    )

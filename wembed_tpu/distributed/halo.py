@@ -1,0 +1,451 @@
+"""Memory-scalable multi-device embedding: vertex-range sharded state with
+static halo exchange of boundary positions.
+
+This is the scale-out design of SURVEY.md §5.8 (the reference has no
+distributed backend at all — OpenMP shared memory only,
+src/embeddingLib/src/embedder/NewWEmbedEmbedder.cpp:309):
+
+  * The STATE is sharded: positions, Adam moments (the large per-vertex
+    arrays) live as (n_pad, d) arrays sharded by vertex range over a 1-D
+    device mesh — per-device memory O(n/P).  Scalar weights / inv-weights /
+    colors stay replicated (O(n) scalars, not O(n*d)).
+  * The directed EDGE arrays are sharded by source-vertex range (CSR order
+    makes those contiguous slices) and device_put with the mesh sharding —
+    per-device memory O(E/P).
+  * Per step, each device sends the positions of the boundary vertices its
+    peers' edges reference (static send lists, computed once from the graph)
+    through ONE ``lax.all_to_all`` — the halo exchange.  Attraction is then
+    entirely local: every directed edge is owned by its source's shard, so
+    force writes never cross devices.
+  * Repulsion still needs global geometry: positions are all-gathered
+    (transient O(n*d) per device, freed after the pass), the bucketed
+    candidate pass runs block-partitioned exactly as the replicated backend
+    (distributed/step.py), and the partial force field is reduced straight
+    back to vertex shards with ``lax.psum_scatter`` — half the wire cost of
+    a full all-reduce.  Making the candidate structures themselves
+    rank-range sharded (removing the transient gather) is the documented
+    follow-up; the bucket correction-edge tables are also still replicated
+    (O(E) int32) inside the repulsion pass.
+  * Optimizer update, gravity recentring (mean via scalar psum), and the
+    convergence metric run on local rows only.
+
+Collectives per step (bucket mode): 1 all_to_all (halo, O(H*d)),
+1 all_gather (O(n*d)), 1 psum_scatter (O(n*d)), scalar psums.  Attraction
+contributes NO O(n) collective.  Cost model in BASELINE.md row 5.
+
+Semantics match the single-chip step up to summation-order rounding; the
+only behavioral deviation is the coincident-point kick draw shape
+(documented in ``_halo_step``), which only matters on measure-zero
+configurations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core import candidates as cand_mod
+from ..core import forces
+from ..core import step as step_mod
+from ..core.optim import AdamParams
+from ..core.options import EmbedderOptions, RepulsionMode
+from ..core.state import DeviceGraph, EmbedState, init_state, random_positions
+from ..graphs.csr import CSRGraph
+from ..utils import rng as rng_mod
+from .mesh import DATA_AXIS
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class HaloPlan:
+    """Static partition of vertices and edges over P shards.
+
+    Vertex v is owned by shard v // R (R = n_pad / P).  Edge arrays are
+    stacked (P, E_s) so axis 0 can be sharded over the mesh; ``ext`` index
+    space of shard p is [0, R) local rows followed by P blocks of H
+    received halo rows (block q = rows owned by shard q that p needs)."""
+
+    n: int
+    n_pad: int
+    R: int
+    P: int
+    H: int  # halo rows exchanged per (owner, requester) pair
+    E_s: int  # padded directed-edge count per shard
+    edge_src_local: np.ndarray  # (P, E_s) int32, src - p*R
+    edge_dst_ext: np.ndarray  # (P, E_s) int32 index into the ext table
+    edge_dst_global: np.ndarray  # (P, E_s) int32 (for replicated inv_w/color)
+    edge_mask: np.ndarray  # (P, E_s) bool
+    send_idx: np.ndarray  # (P, P, H) int32: [owner, requester] -> local rows
+
+    @staticmethod
+    def build(graph: CSRGraph, num_shards: int) -> "HaloPlan":
+        n = graph.num_vertices
+        Pn = num_shards
+        R = _round_up(max(n, Pn), Pn) // Pn
+        n_pad = R * Pn
+        src = graph.edge_src  # nondecreasing (CSR)
+        dst = graph.col_idx
+        bounds = np.searchsorted(src, np.arange(Pn + 1) * R)
+        E_s = max(256, _round_up(int(np.max(bounds[1:] - bounds[:-1])), 256))
+
+        halo_lists = []  # [p][q] sorted unique dst ids owned by q, needed by p
+        for p in range(Pn):
+            lo, hi = bounds[p], bounds[p + 1]
+            d_p = np.unique(dst[lo:hi])
+            owners = d_p // R
+            halo_lists.append(
+                [d_p[(owners == q)] for q in range(Pn)]
+            )
+        H = max(
+            8,
+            _round_up(
+                max(
+                    (h.shape[0] for p in range(Pn) for q, h in enumerate(halo_lists[p]) if q != p),
+                    default=1,
+                ),
+                8,
+            ),
+        )
+
+        esrc_l = np.zeros((Pn, E_s), np.int32)
+        edst_ext = np.zeros((Pn, E_s), np.int32)
+        edst_g = np.zeros((Pn, E_s), np.int32)
+        emask = np.zeros((Pn, E_s), bool)
+        send_idx = np.zeros((Pn, Pn, H), np.int32)
+        for p in range(Pn):
+            lo, hi = bounds[p], bounds[p + 1]
+            k = hi - lo
+            esrc_l[p, :k] = src[lo:hi] - p * R
+            edst_g[p, :k] = dst[lo:hi]
+            emask[p, :k] = True
+            ext = np.zeros(k, np.int64)
+            d_slice = dst[lo:hi]
+            owners = d_slice // R
+            own = owners == p
+            ext[own] = d_slice[own] - p * R
+            for q in range(Pn):
+                if q == p:
+                    continue
+                hq = halo_lists[p][q]
+                if hq.shape[0] > H:
+                    raise AssertionError("halo capacity miscomputed")
+                send_idx[q, p, : hq.shape[0]] = hq - q * R
+                sel = owners == q
+                ext[sel] = R + q * H + np.searchsorted(hq, d_slice[sel])
+            edst_ext[p, :k] = ext
+        return HaloPlan(
+            n=n, n_pad=n_pad, R=R, P=Pn, H=H, E_s=E_s,
+            edge_src_local=esrc_l, edge_dst_ext=edst_ext,
+            edge_dst_global=edst_g, edge_mask=emask, send_idx=send_idx,
+        )
+
+
+def build_halo_step(
+    graph: CSRGraph,
+    opts: EmbedderOptions,
+    weights_np: np.ndarray,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+):
+    """Returns (jitted_step, plan, dg, index, shard_state) — the vertex-
+    sharded step.  ``jitted_step(state, weights, inv_w) -> state`` where
+    the state's per-vertex arrays are (n_pad, d) sharded by rows;
+    ``shard_state(state)`` device_puts a replicated/host state into that
+    layout."""
+    Pn = mesh.devices.size
+    plan = HaloPlan.build(graph, Pn)
+    dg = DeviceGraph.build(graph)
+    mode = opts.resolve_repulsion_mode(graph.num_vertices)
+    use_sampling = opts.num_negative_samples >= 0
+    index = None
+    dense_adj = None
+    if not use_sampling and mode is RepulsionMode.BUCKET:
+        index = cand_mod.BucketIndex.build(
+            weights_np, opts, graph.edge_src, graph.col_idx
+        )
+    elif not use_sampling and mode is RepulsionMode.DENSE:
+        dense_adj = forces.build_dense_adjacency(dg)
+    hp = AdamParams(opts.learning_rate, opts.cooling_factor)
+    n, n_pad, R, H, E_s = plan.n, plan.n_pad, plan.R, plan.H, plan.E_s
+    d = opts.embedding_dimension
+
+    row_sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+    plan_dev = jax.tree.map(
+        lambda a: jax.device_put(jnp.asarray(a), row_sharding),
+        (plan.edge_src_local, plan.edge_dst_ext, plan.edge_dst_global,
+         plan.edge_mask, plan.send_idx),
+    )
+
+    def halo_step(state, weights, inv_w, esrc_l, edst_ext, edst_g, emask, send_idx):
+        """Runs per device inside shard_map.  state arrays are the LOCAL
+        row slices (R, ...); weights/inv_w are replicated (n,)."""
+        esrc_l, edst_ext, edst_g = esrc_l[0], edst_ext[0], edst_g[0]
+        emask, send_idx = emask[0], send_idx[0]
+        p = lax.axis_index(axis_name)
+        pos_l = state.positions  # (R, d)
+        dtype = pos_l.dtype
+        key, att_key, rep_key, kick_key = jax.random.split(state.key, 4)
+        rows_global = p * R + jnp.arange(R)
+        real_row = rows_global < n
+
+        # ---- halo exchange: one all_to_all of boundary positions.
+        # send[j] = the rows shard j's edges need from us; after the
+        # exchange recv[q] = the rows we need from shard q.
+        send = pos_l[send_idx]  # (P, H, d)
+        recv = lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0, tiled=False)
+        ext = jnp.concatenate([pos_l, recv.reshape(Pn * H, d)])  # (R + P*H, d)
+
+        # ---- attraction: src-local edges, local force writes only
+        # (NewWEmbedEmbedder.cpp:306-316 semantics, see forces.attraction_forces)
+        psrc = pos_l[esrc_l]
+        pdst = ext[edst_ext]
+        diff = pdst - psrc
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        src_g = p * R + esrc_l
+        ws = forces._weight_scaling(
+            inv_w[jnp.minimum(src_g, n - 1)], inv_w[edst_g], opts.additive_weights
+        )
+        zero = (dist <= 0) & emask
+        safe = jnp.where(dist > 0, dist, 1.0)
+        att_active = (dist * ws > opts.edge_length) & emask
+        coeff = jnp.where(att_active, opts.attraction_scale * ws / safe, 0.0)
+        force_e = coeff[:, None].astype(dtype) * diff
+
+        def with_edge_kicks(f):
+            kicks = forces.random_unit_vectors(att_key, (E_s,), d, dtype)
+            return jnp.where(zero[:, None], kicks, f)
+
+        force_e = lax.cond(
+            lax.psum(jnp.any(zero).astype(jnp.int32), axis_name) > 0,
+            with_edge_kicks, lambda f: f, force_e,
+        )
+        force_l = jax.ops.segment_sum(
+            force_e, esrc_l, num_segments=R, indices_are_sorted=True
+        )
+        att_loss = lax.psum(
+            jnp.sum(
+                jnp.where(att_active, dist - opts.edge_length / ws, 0.0),
+                dtype=jnp.float32,
+            ),
+            axis_name,
+        )
+
+        # ---- repulsion: transient global gather, block-partitioned pass,
+        # reduce-scatter straight back to vertex shards
+        pos_full = lax.all_gather(pos_l, axis_name, tiled=True)[:n]
+        overflow = jnp.asarray(0, jnp.int32)
+        if use_sampling:
+            if opts.num_negative_samples == 0:
+                rep_force = jnp.zeros((n, d), dtype)
+                rep_loss = jnp.asarray(0.0, jnp.float32)
+                rep_count = jnp.asarray(0, jnp.int32)
+                zero_n = jnp.zeros((n,), jnp.int32)
+            else:
+                rep_force, rep_loss, rep_count, zero_n = (
+                    forces.sampled_repulsion_forces(
+                        pos_full, inv_w, dg, opts, rep_key,
+                        shard=(axis_name, Pn),
+                    )
+                )
+        elif mode is RepulsionMode.DENSE:
+            rep_force, rep_loss, rep_count, zero_n = forces.dense_repulsion_forces(
+                pos_full, inv_w, dense_adj, dg.colors, opts, shard=(axis_name, Pn)
+            )
+        else:
+            rep_force, rep_loss, rep_count, overflow, zero_n = (
+                cand_mod.bucket_repulsion_forces(
+                    pos_full, inv_w, weights, dg, index, opts, rep_key,
+                    shard=(axis_name, Pn),
+                )
+            )
+        rep_pad = jnp.zeros((n_pad, d), dtype).at[:n].set(rep_force)
+        zero_pad = jnp.zeros((n_pad,), jnp.int32).at[:n].set(zero_n)
+        rep_l = lax.psum_scatter(rep_pad, axis_name, scatter_dimension=0, tiled=True)
+        zero_l = lax.psum_scatter(zero_pad, axis_name, scatter_dimension=0, tiled=True)
+        rep_loss, rep_count, overflow = lax.psum(
+            (rep_loss, rep_count, overflow), axis_name
+        )
+        force_l = force_l + rep_l
+
+        # coincident-point kicks.  DOCUMENTED DEVIATION vs the single-chip
+        # step: the kick field is drawn with shape (n_pad, d) instead of
+        # (n, d), so kick VALUES differ when coincidences occur (still
+        # random unit vectors; only measure-zero configurations notice).
+        def with_kicks(f):
+            kicks_full = forces.random_unit_vectors(kick_key, (n_pad,), d, dtype)
+            kicks_l = lax.dynamic_slice_in_dim(kicks_full, p * R, R, axis=0)
+            return f + kicks_l * zero_l[:, None].astype(dtype)
+
+        force_l = lax.cond(
+            lax.psum(jnp.sum(zero_l), axis_name) > 0, with_kicks, lambda f: f,
+            force_l,
+        )
+        if opts.centre_scale != 0.0:
+            force_l = force_l + forces.centre_forces(pos_l, opts)
+
+        t = state.iteration + 1
+        new_pos_l, m_l, v_l = step_mod._apply_optimizer(
+            opts, hp, pos_l, force_l, state, t
+        )
+        # gravity: global centroid via scalar psum; padded rows pinned at 0
+        mean = lax.psum(
+            jnp.sum(jnp.where(real_row[:, None], new_pos_l, 0.0), axis=0), axis_name
+        ) / n
+        new_pos_l = jnp.where(real_row[:, None], new_pos_l - mean, new_pos_l)
+        delta = jnp.where(
+            real_row[:, None], (new_pos_l - pos_l).astype(jnp.float32), 0.0
+        )
+        pos_change = lax.psum(jnp.sum(delta * delta), axis_name) / n
+
+        return EmbedState(
+            positions=new_pos_l,
+            adam_m=m_l,
+            adam_v=v_l,
+            iteration=t,
+            key=key,
+            attract_loss=att_loss,
+            repel_loss=rep_loss,
+            pos_change=pos_change,
+            num_rep_forces=rep_count,
+            overflow=overflow,
+        )
+
+    state_specs = EmbedState(
+        positions=P(axis_name), adam_m=P(axis_name), adam_v=P(axis_name),
+        iteration=P(), key=P(), attract_loss=P(), repel_loss=P(),
+        pos_change=P(), num_rep_forces=P(), overflow=P(),
+    )
+    sharded = shard_map(
+        halo_step,
+        mesh=mesh,
+        in_specs=(state_specs, P(), P()) + (P(axis_name),) * 5,
+        out_specs=state_specs,
+        check_vma=False,
+    )
+
+    def step(state, weights, inv_w):
+        return sharded(state, weights, inv_w, *plan_dev)
+
+    jitted = jax.jit(step)
+
+    def shard_state(state: EmbedState) -> EmbedState:
+        """Pad per-vertex arrays to n_pad and device_put with row sharding."""
+        def pad_rows(a):
+            a = np.asarray(a)
+            out = np.zeros((n_pad,) + a.shape[1:], a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        return EmbedState(
+            positions=jax.device_put(pad_rows(state.positions), row_sharding),
+            adam_m=jax.device_put(pad_rows(state.adam_m), row_sharding),
+            adam_v=jax.device_put(pad_rows(state.adam_v), row_sharding),
+            iteration=jax.device_put(state.iteration, replicated),
+            key=jax.device_put(state.key, replicated),
+            attract_loss=jax.device_put(state.attract_loss, replicated),
+            repel_loss=jax.device_put(state.repel_loss, replicated),
+            pos_change=jax.device_put(state.pos_change, replicated),
+            num_rep_forces=jax.device_put(state.num_rep_forces, replicated),
+            overflow=jax.device_put(state.overflow, replicated),
+        )
+
+    step.sharded = sharded  # raw shard_map step for the while-loop driver
+    return jitted, plan, dg, index, shard_state
+
+
+@partial(jax.jit, static_argnames=("step", "max_iterations", "position_min_change"))
+def halo_run_embedding(step, state, weights, inv_w, max_iterations, position_min_change):
+    """Full vertex-sharded calculateEmbedding as one device-side while-loop."""
+
+    def cond(s):
+        return (s.iteration < max_iterations) & (s.pos_change >= position_min_change)
+
+    return lax.while_loop(cond, lambda s: step(s, weights, inv_w), state)
+
+
+class HaloEmbedder:
+    """Host driver for the vertex-sharded backend — the multi-device
+    counterpart of WEmbedEmbedder for graphs whose state exceeds one
+    device's memory."""
+
+    def __init__(
+        self,
+        graph: CSRGraph,
+        opts: EmbedderOptions | None = None,
+        mesh: Mesh | None = None,
+        initial_coordinates: np.ndarray | None = None,
+        initial_weights: np.ndarray | None = None,
+        verbose: bool = True,
+    ):
+        from ..core import weights as weights_mod
+        from .mesh import make_mesh
+
+        self.graph = graph
+        self.opts = opts or EmbedderOptions()
+        self.mesh = mesh or make_mesh()
+        self.verbose = verbose
+        self._dtype = jnp.float64 if self.opts.dtype == "float64" else jnp.float32
+        n, dim = graph.num_vertices, self.opts.embedding_dimension
+        if initial_weights is None:
+            initial_weights = weights_mod.initial_weights(graph, self.opts)
+        if initial_coordinates is None:
+            initial_coordinates = random_positions(n, dim, rng_mod.host_rng())
+        self._weights_np = np.asarray(initial_weights, dtype=np.float64)
+        self._weights = jnp.asarray(self._weights_np, dtype=self._dtype)
+        self._inv_w = jnp.asarray(
+            weights_mod.inv_exp_weights(self._weights_np, dim), dtype=self._dtype
+        )
+        self._step, self.plan, self._dg, self._index, self._shard_state = (
+            build_halo_step(graph, self.opts, self._weights_np, self.mesh)
+        )
+        self._state = self._shard_state(
+            init_state(
+                np.asarray(initial_coordinates, dtype=np.float64),
+                rng_mod.new_key(),
+                dtype=self._dtype,
+            )
+        )
+
+    @property
+    def state(self) -> EmbedState:
+        return self._state
+
+    def calculate_step(self) -> None:
+        self._state = self._step(self._state, self._weights, self._inv_w)
+        self._state.positions.block_until_ready()
+
+    def calculate_embedding(self) -> None:
+        self._state = halo_run_embedding(
+            self._step, self._state, self._weights, self._inv_w,
+            self.opts.max_iterations, self.opts.position_min_change,
+        )
+        self._state.positions.block_until_ready()
+
+    def is_finished(self) -> bool:
+        return int(self._state.iteration) >= self.opts.max_iterations or (
+            int(self._state.iteration) > 0
+            and float(self._state.pos_change) < self.opts.position_min_change
+        )
+
+    def get_coordinates(self) -> np.ndarray:
+        return np.asarray(self._state.positions, dtype=np.float64)[
+            : self.graph.num_vertices
+        ]
+
+    def get_weights(self) -> np.ndarray:
+        return self._weights_np.copy()
+
+    @property
+    def iteration(self) -> int:
+        return int(self._state.iteration)
