@@ -36,26 +36,31 @@ def main() -> None:
     emb = WEmbedEmbedder(g, opts, verbose=False)
     build_s = time.perf_counter() - t0
 
-    # warm up / compile with a single step
+    # warm segment: compiles the step + while-loop jits and runs 3 iters.
+    # Per-dispatch host->TPU latency is ~60ms through the tunnel, so all
+    # timing below uses DEVICE-SIDE loop segments (calculate_embedding with
+    # a traced iteration cap), never per-step host walls.
     t0 = time.perf_counter()
-    emb.calculate_step()
-    jax.block_until_ready(emb.state.positions)
+    emb.calculate_embedding(max_iterations=3)
     compile_s = time.perf_counter() - t0
 
+    # steady-state segment: one device-side window of up to iters-3 more
+    # iterations (the traced cap reuses the compiled loop — zero recompile
+    # unless span growth rebuilds the step closure mid-window)
+    it0 = emb.iteration
     t0 = time.perf_counter()
-    emb.calculate_embedding()
-    jax.block_until_ready(emb.state.positions)
+    emb.calculate_embedding(max_iterations=it0 + max(iters - 3, 1))
     wall = time.perf_counter() - t0
-    done = emb.iteration - 1  # first step above
+    done = emb.iteration - it0
     if done <= 0:
-        # zero steady-state steps ran (iters < 2 or converged during
-        # warm-up) — a throughput number from this would be meaningless
+        # converged during warm-up — a throughput number from this would be
+        # meaningless
         print(json.dumps({"metric": "edges_per_s_sparse", "graph": path,
-                          "error": "no steady-state iterations; rerun with iters >= 2",
+                          "error": "no steady-state iterations; rerun with iters >= 5",
                           "iters": done}))
         return
-
-    eps = m * done / wall
+    step_s = wall / done
+    eps = m / step_s
     print(
         json.dumps(
             {
@@ -67,6 +72,7 @@ def main() -> None:
                 "iters": done,
                 "value": round(eps, 1),
                 "unit": "edges/s",
+                "step_s": round(step_s, 4),
                 "wall_s": round(wall, 3),
                 "build_s": round(build_s, 3),
                 "compile_s": round(compile_s, 3),

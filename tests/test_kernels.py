@@ -92,3 +92,135 @@ def test_fused_small_graph_converges_like_jnp():
         assert emb.iteration < emb.opts.max_iterations
         loss = emb.get_loss()
         assert loss.total < 0.5, loss
+
+
+# --------------------------------------------------- fused span (sparse) path
+
+
+def _span_setup(n, d, additive, span_scale, seed=7):
+    """(graph, opts, weights, inv_w, positions, SpanIndex, DeviceGraph)."""
+    import jax.numpy as jnp
+
+    from wembed_tpu.core.state import DeviceGraph
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, _, _ = generators.girg(
+        n, dim=2, avg_degree=12, ple=2.2, rng=np.random.default_rng(seed)
+    )
+    opts = EmbedderOptions(embedding_dimension=d, additive_weights=additive)
+    w = weights_mod.initial_weights(g, opts)
+    inv_w = weights_mod.inv_exp_weights(w, d)
+    rng = np.random.default_rng(1)
+    pos = rng.normal(size=(g.num_vertices, d)).astype(np.float32) * 2.0
+    idx = span_mod.SpanIndex.build(
+        w, opts, g.edge_src, g.col_idx, span_scale=span_scale
+    )
+    return (
+        g,
+        opts,
+        jnp.asarray(w, jnp.float32),
+        jnp.asarray(inv_w, jnp.float32),
+        jnp.asarray(pos),
+        idx,
+        DeviceGraph.build(g),
+    )
+
+
+@pytest.mark.parametrize("d,additive", [(2, False), (3, False), (2, True)])
+def test_span_kernel_matches_dense_oracle(d, additive):
+    """The fused span sweep (interpret mode) must reproduce the exact
+    dense-path repulsion forces/losses when no window truncates: the
+    active set (dist*ws <= L) is radius-independent, so merged-group
+    candidate widening changes only the candidate COUNT."""
+    import jax.numpy as jnp
+
+    from wembed_tpu.core import forces
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, opts, w, inv_w, pos, idx, dg = _span_setup(900, d, additive, 8.0)
+    f, loss, cnt, ovf, zc = span_mod.span_repulsion_forces(
+        pos, inv_w, w, dg.colors, idx, opts, interpret=True
+    )
+    assert int(ovf) == 0
+    adj = forces.build_dense_adjacency(dg)
+    fd, lossd, cntd, zcd = forces.dense_repulsion_forces(
+        pos, inv_w, adj, dg.colors, opts
+    )
+    scale = float(jnp.max(jnp.abs(fd))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f) / scale, np.asarray(fd) / scale, atol=5e-5
+    )
+    np.testing.assert_allclose(float(loss), float(lossd), rtol=2e-4)
+    assert bool(jnp.all(zc == zcd))
+    assert int(cnt) >= int(cntd)  # merged radii only widen the candidate set
+
+
+def test_span_embedder_matches_jnp_bucket():
+    """Embedder trajectories: fused_span="interpret" vs the jnp bucket path
+    with identical inits — same active sets => same forces up to f32
+    rounding for the first few steps."""
+    set_seed(11)
+    rng = np.random.default_rng(17)
+    g, _, _ = generators.girg(
+        700, dim=2, avg_degree=10, ple=2.5, rng=np.random.default_rng(23)
+    )
+    n, d = g.num_vertices, 2
+    coords = rng.uniform(0, n ** (1 / d), size=(n, d))
+    base = dict(
+        embedding_dimension=d,
+        dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET,
+    )
+    opts_s = EmbedderOptions(fused_span="interpret", **base)
+    opts_j = EmbedderOptions(fused_span="off", **base)
+    w = weights_mod.initial_weights(g, opts_j)
+    emb_s = _embedder(g, opts_s, coords, w)
+    emb_j = _embedder(g, opts_j, coords, w)
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    assert isinstance(emb_s._index, span_mod.SpanIndex)
+    for it in range(3):
+        emb_s.calculate_step()
+        emb_j.calculate_step()
+        assert int(emb_s.state.overflow) == 0
+        # step 1 is tight; later steps admit hinge flips (pairs whose
+        # dist*ws lands within f32 rounding of L activate on one path
+        # only), whose bounded force error compounds chaotically — same
+        # caveat as the fused dense test above.  The LOSS stays tight
+        # every step: the force fields are semantically identical.
+        atol = 3e-5 if it == 0 else 5e-3
+        np.testing.assert_allclose(
+            emb_s.get_coordinates(), emb_j.get_coordinates(), rtol=3e-4, atol=atol
+        )
+        np.testing.assert_allclose(
+            float(emb_s.state.repel_loss),
+            float(emb_j.state.repel_loss),
+            rtol=1e-4,
+        )
+
+
+def test_span_overflow_grows_and_recovers():
+    """A deliberately starved window table must report overflow, and the
+    embedder's span growth must recover full coverage (final overflow 0)."""
+    set_seed(12)
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, opts, w, inv_w, pos, idx, dg = _span_setup(3000, 2, False, 1e-6, seed=5)
+    # starved scale: every (qg, tg) pair gets the 1-tile minimum
+    assert idx.can_grow() or int(np.max(idx.group_sizes)) <= 512
+    f, loss, cnt, ovf, zc = span_mod.span_repulsion_forces(
+        pos * 100.0, inv_w, w, dg.colors, idx, opts, interpret=True
+    )
+    if int(np.max(idx.group_sizes)) > 512:
+        assert int(ovf) > 0  # spread positions overflow the 1-tile windows
+    # growth: doubling span_scale until coverage is total must zero overflow
+    scale = 1e-6
+    while int(ovf) > 0 and idx.can_grow():
+        scale *= 1024.0
+        idx = span_mod.SpanIndex.build(
+            np.asarray(w), opts, g.edge_src, g.col_idx, span_scale=scale
+        )
+        f, loss, cnt, ovf, zc = span_mod.span_repulsion_forces(
+            pos * 100.0, inv_w, w, dg.colors, idx, opts, interpret=True
+        )
+    assert int(ovf) == 0

@@ -23,6 +23,7 @@ from ..utils import rng as rng_mod
 from ..utils.timer import Timer, TimingResult
 from . import candidates as cand_mod
 from . import step as step_mod
+from ..kernels import span_sparse as span_mod
 from . import weights as weights_mod
 from .options import EmbedderOptions, RepulsionMode
 from .state import DeviceGraph, EmbedState, init_state, random_positions
@@ -110,13 +111,24 @@ class WEmbedEmbedder:
         self._index = None
         mode = self.opts.resolve_repulsion_mode(self.graph.num_vertices)
         if self.opts.num_negative_samples < 0 and mode is RepulsionMode.BUCKET:
-            self._index = cand_mod.BucketIndex.build(
-                self._weights_np,
-                self.opts,
-                self.graph.edge_src,
-                self.graph.col_idx,
-                span_scale=self._span_scale,
-            )
+            if step_mod.resolve_fused_span(self._dg, self.opts, None) is not None:
+                # fused Pallas span path (kernels/span_sparse.py): its own
+                # merged-group skeleton replaces the jnp BucketIndex
+                self._index = span_mod.SpanIndex.build(
+                    self._weights_np,
+                    self.opts,
+                    self.graph.edge_src,
+                    self.graph.col_idx,
+                    span_scale=self._span_scale,
+                )
+            else:
+                self._index = cand_mod.BucketIndex.build(
+                    self._weights_np,
+                    self.opts,
+                    self.graph.edge_src,
+                    self.graph.col_idx,
+                    span_scale=self._span_scale,
+                )
         self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)
         self._jitted_step = jax.jit(self._step_fn)
         self._phase_fns = None  # rebuilt lazily on the next profiled step
@@ -131,7 +143,10 @@ class WEmbedEmbedder:
         buckets."""
         if self._index is None or self._span_scale >= 1024:
             return False
-        if all(
+        if isinstance(self._index, span_mod.SpanIndex):
+            if not self._index.can_grow():
+                return False  # windows already cover every group entirely
+        elif all(
             b.span >= b.sample_size for b in self._index.buckets
         ):
             return False  # spans already cover every bucket entirely
@@ -269,9 +284,17 @@ class WEmbedEmbedder:
             and float(self._state.pos_change) < self.opts.position_min_change
         )
 
-    def calculate_embedding(self) -> None:
+    def calculate_embedding(self, max_iterations: int | None = None) -> None:
         """Full embedding via the device-side while-loop — no per-iteration
-        host round-trips."""
+        host round-trips.
+
+        ``max_iterations`` optionally caps this CALL below the configured
+        budget (segmented runs: benchmarking steady-state windows,
+        checkpoint-every-K driving).  The loop bound is a traced scalar, so
+        different caps reuse the compiled while-loop."""
+        cap = self.opts.max_iterations if max_iterations is None else min(
+            max_iterations, self.opts.max_iterations
+        )
         if self.graph.num_vertices <= 1:
             self._state = self._state._replace(
                 pos_change=jnp.asarray(0.0, jnp.float32)
@@ -284,9 +307,12 @@ class WEmbedEmbedder:
             # overflow works the same as the device-loop path below.
             with self.timer.phase("embedding_all", "Embedding"):
                 while True:
-                    while not self.is_finished():
+                    while (
+                        not self.is_finished()
+                        and int(self._state.iteration) < cap
+                    ):
                         self.calculate_step()
-                    if int(self._state.iteration) >= self.opts.max_iterations:
+                    if int(self._state.iteration) >= cap:
                         break
                     if int(self._state.overflow) == 0 or not self._grow_spans():
                         break
@@ -306,14 +332,14 @@ class WEmbedEmbedder:
                     self._state,
                     self._weights,
                     self._inv_w,
-                    self.opts.max_iterations,
+                    cap,
                     self.opts.position_min_change,
                 )
                 self._state.positions.block_until_ready()
                 # candidate spans truncated at convergence => grow spans and
                 # keep refining from the current state (the reference's
                 # exact index never truncates)
-                if int(self._state.iteration) >= self.opts.max_iterations:
+                if int(self._state.iteration) >= cap:
                     break
                 if int(self._state.overflow) == 0 or not self._grow_spans():
                     break

@@ -79,6 +79,11 @@ class EmbedderOptions:
     # "on"/"off" force it, "interpret" runs the kernel in interpreter mode
     # (CPU-testable, slow)
     fused_dense: str = "auto"
+    # fused Pallas sparse-span kernel (the bucketed candidate sweep as one
+    # VMEM-resident pallas_call, kernels/span_sparse.py): "auto" = on TPU
+    # backends for the unsharded f32 bucket mode with index_size == 1,
+    # "on"/"off" force it, "interpret" runs it in interpreter mode
+    fused_span: str = "auto"
     # debug mode, the analogue of the reference's EMBEDDING_USE_ASSERTIONS
     # toggle (Macros.hpp:7-11, CMakeLists.txt:65-68): enables
     # jax_debug_nans (jit raises where a NaN is produced) and validates

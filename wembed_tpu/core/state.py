@@ -50,7 +50,10 @@ class DeviceGraph:
         e = src.shape[0]
         e_pad = max(512, _round_up(e, 512))
         pad = e_pad - e
-        src_p = np.concatenate([src, np.zeros(pad, np.int32)])
+        # padding src = n-1 keeps the array src-sorted (CSR order), which
+        # attraction's segment_sum asserts via indices_are_sorted; padded
+        # rows are masked so they contribute exact zeros either way
+        src_p = np.concatenate([src, np.full(pad, max(n - 1, 0), np.int32)])
         dst_p = np.concatenate([dst, np.zeros(pad, np.int32)])
         mask = np.concatenate([np.ones(e, bool), np.zeros(pad, bool)])
         degrees = g.degrees

@@ -30,6 +30,7 @@ from jax import lax
 from . import candidates as cand_mod
 from . import forces
 from ..kernels import fused_dense as fused_mod
+from ..kernels import span_sparse as span_mod
 from .optim import AdamParams, adam_update, simple_update
 from .options import EmbedderOptions, OptimizerType, RepulsionMode
 from .state import DeviceGraph, EmbedState
@@ -62,6 +63,30 @@ def resolve_fused(dg: DeviceGraph, opts: EmbedderOptions, shard) -> str | None:
     if opts.fused_dense == "interpret":
         return "interpret"
     if opts.fused_dense == "on":
+        return "compiled"
+    return "compiled" if _tpu_backend() else None
+
+
+def resolve_fused_span(dg: DeviceGraph, opts: EmbedderOptions, shard) -> str | None:
+    """Whether the bucket path should use the fused span kernel.
+
+    Returns None (off), "compiled", or "interpret".  Auto mode requires:
+    bucket repulsion, no negative sampling, unsharded, f32, full index
+    (index_size == 1), TPU backend.
+    """
+    mode = opts.resolve_repulsion_mode(dg.n)
+    applicable = (
+        mode is RepulsionMode.BUCKET
+        and opts.num_negative_samples < 0
+        and shard is None
+        and opts.dtype == "float32"
+        and opts.index_size >= 1.0
+    )
+    if opts.fused_span == "off" or not applicable:
+        return None
+    if opts.fused_span == "interpret":
+        return "interpret"
+    if opts.fused_span == "on":
         return "compiled"
     return "compiled" if _tpu_backend() else None
 
@@ -110,7 +135,20 @@ def build_phase_fns(
     repel_kind = "sampled" if use_sampling else (
         "dense" if mode is RepulsionMode.DENSE else "bucket"
     )
-    if repel_kind == "bucket":
+    span_mode = (
+        resolve_fused_span(dg, opts, None)
+        if repel_kind == "bucket" and isinstance(index, span_mod.SpanIndex)
+        else None
+    )
+    if repel_kind == "bucket" and span_mode is not None:
+
+        @jax.jit
+        def index_fn(positions, weights, inv_w, rep_key):
+            return span_mod.build_span_structures(
+                positions, inv_w, weights, dg.colors, index, opts
+            )
+
+    elif repel_kind == "bucket":
 
         @jax.jit
         def index_fn(positions, weights, inv_w, rep_key):
@@ -122,7 +160,16 @@ def build_phase_fns(
     def attract_fn(positions, inv_w, att_key):
         return forces.attraction_forces(positions, inv_w, dg, opts, att_key)
 
-    if repel_kind == "bucket":
+    if repel_kind == "bucket" and span_mode is not None:
+
+        @jax.jit
+        def repel_fn(positions, weights, inv_w, rep_key, structures):
+            return span_mod.span_repulsion_forces(
+                positions, inv_w, weights, dg.colors, index, opts,
+                interpret=(span_mode == "interpret"), structures=structures,
+            )
+
+    elif repel_kind == "bucket":
 
         @jax.jit
         def repel_fn(positions, weights, inv_w, rep_key, structures):
@@ -204,6 +251,11 @@ def build_step(
     mode = opts.resolve_repulsion_mode(dg.n)
     use_sampling = opts.num_negative_samples >= 0
     fused = resolve_fused(dg, opts, shard)
+    fused_span = resolve_fused_span(dg, opts, shard)
+    if not isinstance(index, span_mod.SpanIndex):
+        # the caller built a jnp BucketIndex (or none) — the span kernel
+        # needs its own skeleton, so fall back to the jnp bucket path
+        fused_span = None
     dense_adj = None
     adj_bytes = None
     colors_pad = None
@@ -319,6 +371,13 @@ def build_step(
                     state.positions, inv_w, dense_adj, dg.colors, opts, shard=shard
                 )
             )
+        elif fused_span is not None:
+            rep_force, rep_loss, rep_count, overflow, zero_count = (
+                span_mod.span_repulsion_forces(
+                    state.positions, inv_w, weights, dg.colors, index, opts,
+                    interpret=(fused_span == "interpret"),
+                )
+            )
         else:
             rep_force, rep_loss, rep_count, overflow, zero_count = (
                 cand_mod.bucket_repulsion_forces(
@@ -379,20 +438,25 @@ def build_step(
     return step
 
 
-@partial(jax.jit, static_argnames=("step_fn", "max_iterations", "position_min_change"))
+@partial(jax.jit, static_argnames=("step_fn",))
 def run_embedding(
     step_fn,
     state: EmbedState,
     weights: jax.Array,
     inv_w: jax.Array,
-    max_iterations: int,
-    position_min_change: float,
+    max_iterations,
+    position_min_change,
 ) -> EmbedState:
     """Device-side calculateEmbedding: while-loop until convergence.
 
     Continuation condition mirrors !isFinished()
     (NewWEmbedEmbedder.cpp:94-96): iteration < maxIterations AND the last
     step moved vertices by at least positionMinChange on average.
+
+    ``max_iterations`` / ``position_min_change`` are TRACED scalars, so
+    changing the iteration budget (benchmark segments, span-growth
+    continuation, checkpoint-resume with a new cap) reuses the compiled
+    loop — only ``step_fn`` identity keys the jit cache.
     """
 
     def cond(state: EmbedState):

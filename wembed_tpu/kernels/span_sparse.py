@@ -1,0 +1,714 @@
+"""Fused sparse repulsion: ONE Pallas kernel for the whole bucketed
+candidate sweep.
+
+This is the TPU-native replacement for the reference's per-iteration
+spatial-index machinery (the weight-bucketed radius index
+src/embeddingLib/src/spacialQuery/WeightedIndex.cpp:10-100 over the SNN
+projected-sort index src/SNN/src/snn.cpp:97-160 / the Rust ``sprk``
+crate), superseding the pure-jnp blocked sort-merge passes in
+``core/candidates.py`` on the f32 TPU path.  The jnp path materialized
+every (block x span) coefficient tensor through HBM; here the entire
+distance/mask/coefficient/reduce pipeline for one work tile lives in
+VMEM, so HBM traffic drops to the query/span operand streams.
+
+Structure:
+
+  1. Vertices are partitioned into *merged* doubling weight buckets
+     ("groups"): consecutive doubling classes (WeightedIndex.cpp:51-63)
+     are greedily merged until a group holds >= _GROUP_MIN members, so
+     power-law tails don't fragment the work list.  Merging only widens
+     the conservative candidate radius (never drops a candidate), and the
+     radius filter is redundant for forces: the active condition
+     dist*ws <= L implies dist <= L*(w_u*w_v)^(1/d) <= L*(w_u*bmax)^(1/d)
+     = the candidate radius.  Group membership is static (weights are
+     constant), giving every shape below compile-time values.
+  2. Per step, one device-side (group, projection) lexsort orders all
+     vertices; the same order yields BOTH the per-group sorted member
+     arrays (span side, padded to _ST tiles) and the query blocks
+     (padded to _Q rows per group).
+  3. The work list is a STATIC flattening of (query block i, target
+     group g, span tile t): for each pair the span tile count T[qg,g]
+     is fixed by the span-size heuristic, while the tile *positions*
+     (which part of group g's sorted members block i scans) are dynamic
+     searchsorted window starts, fed to the kernel as a scalar-prefetch
+     array that BlockSpec index maps consume.  One pallas_call walks all
+     work tiles; output blocks are revisited across consecutive tiles of
+     the same query block and stay resident in VMEM.
+  4. Window truncation is surfaced via the overflow counter computed
+     from the exact searchsorted bounds (SURVEY.md §7 hard part #1); the
+     embedder grows spans and rebuilds when convergence was reached with
+     overflow (core/embedder.py _grow_spans).
+  5. Graph neighbors must not repel (reference filters candidates with
+     areNeighbors, NewWEmbedEmbedder.cpp:328).  Like the jnp path we
+     repel every in-window pair and subtract neighbor contributions in
+     an O(E) correction pass; the correction accumulates per-source
+     rowsum/weighted-position sums and applies q*rowsum - acc — the SAME
+     algebraic form the kernel uses — so the cancellation is exact in
+     value and only differs by f32 summation-order rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_Q = 256  # queries per block
+_ST = 512  # span elements per work tile
+_GROUP_MIN = 2048  # merge doubling classes until a group has this many
+_Q_SENTINEL = 1e15  # padded query position (far positive)
+_S_SENTINEL = -1e15  # padded member position (far negative; never coincides
+# with a query sentinel, so sentinel x padding pairs keep dist2 > 0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ----------------------------------------------------------------- skeleton
+
+
+@dataclass(frozen=True)
+class SpanIndex:
+    """Static skeleton of the fused span index (host-built once per
+    embedder / span growth).  All fields are numpy or python — nothing
+    here depends on positions."""
+
+    n: int
+    d: int
+    num_channels: int  # C: channel/row count of qdata / sdata / out
+    num_groups: int  # B
+    nb: int  # NB: total query blocks
+    w: int  # W: total work tiles (pallas grid size)
+    # group tables (B,)
+    group_sizes: np.ndarray  # n_b
+    group_moff: np.ndarray  # member offset of group in sorted order
+    group_qoff: np.ndarray  # query offset (padded to _Q blocks)
+    group_pad_off: np.ndarray  # member offset in ST-padded layout
+    group_tiles: np.ndarray  # n_tiles per group
+    bmaxpow: np.ndarray  # f32 bmax_g^(1/d)
+    t_table: np.ndarray  # (B, B) span tiles per (query group, target group)
+    # per-vertex static
+    group_of: np.ndarray  # (n,) int32
+    # sorted-order static offset vectors (n,)
+    sorted_moff: np.ndarray  # m_off of the group of sorted position j
+    sorted_shift_pad: np.ndarray  # pad_off - m_off per sorted position
+    sorted_shift_q: np.ndarray  # q_off - m_off per sorted position
+    # member-padded static rows
+    bmaxpow_padded: np.ndarray  # (NPA,) f32: bmaxpow of each padded slot
+    # work-tile static tables (W,)
+    wt_qblk: np.ndarray  # query block per work tile
+    wt_pair: np.ndarray  # flattened (qblk * B + g) per work tile
+    wt_off: np.ndarray  # tile_off[g] + t per work tile (static part of stile)
+    wt_first: np.ndarray  # 1 on the first tile of each query block
+    # per-block static
+    blk_t: np.ndarray  # (NB, B) T of each (block, group)
+    blk_group: np.ndarray  # (NB,) query group of each block
+    # directed-edge correction arrays (padded to 512)
+    edge_src: np.ndarray
+    edge_dst: np.ndarray
+    edge_mask: np.ndarray
+    edge_dst_group: np.ndarray
+    edge_cov_len: np.ndarray  # T[group(src), group(dst)] * _ST, static
+    edge_bmaxpow: np.ndarray  # bmaxpow[group(dst)], static
+    span_scale: float
+
+    @property
+    def npa(self) -> int:  # padded member array length
+        return int(self.group_pad_off[-1] + self.group_tiles[-1] * _ST)
+
+    @property
+    def nq(self) -> int:  # padded query array length
+        return int(self.nb * _Q)
+
+    def can_grow(self) -> bool:
+        """False once every (query group, target group) pair already scans
+        the whole target group — growth could not add candidates."""
+        return bool(np.any(self.t_table < self.group_tiles[None, :]))
+
+    @staticmethod
+    def build(
+        weights: np.ndarray,
+        opts,
+        edge_src: np.ndarray,
+        edge_dst: np.ndarray,
+        span_scale: float = 1.0,
+    ) -> "SpanIndex":
+        from ..core.candidates import doubling_weight_buckets
+
+        n = int(weights.shape[0])
+        d = int(opts.embedding_dimension)
+        L = float(opts.edge_length)
+        thresholds = doubling_weight_buckets(weights, opts.doubling_factor)
+        assignment = np.searchsorted(thresholds, weights, side="right")
+        class_max = np.concatenate([thresholds, [float(np.max(weights))]])
+        num_classes = thresholds.shape[0] + 1
+        class_sizes = np.bincount(assignment, minlength=num_classes)
+
+        # ---- merge consecutive doubling classes into groups of >= _GROUP_MIN
+        class_group = np.zeros(num_classes, np.int32)
+        sizes, maxes = [], []
+        acc = 0
+        for c in range(num_classes):
+            if acc >= _GROUP_MIN and sizes:
+                sizes.append(0)
+                acc = 0
+            if not sizes:
+                sizes.append(0)
+            class_group[c] = len(sizes) - 1
+            sizes[-1] += int(class_sizes[c])
+            acc += int(class_sizes[c])
+            if len(maxes) < len(sizes):
+                maxes.append(0.0)
+            if class_sizes[c]:
+                maxes[-1] = float(class_max[c])
+            else:
+                maxes[-1] = max(maxes[-1], float(class_max[c]))
+        # drop empty groups (possible when trailing classes are empty)
+        keep = [i for i, s in enumerate(sizes) if s > 0]
+        remap = {old: new for new, old in enumerate(keep)}
+        group_sizes = np.asarray([sizes[i] for i in keep], np.int64)
+        bmaxpow = np.asarray(
+            [maxes[i] ** (1.0 / d) for i in keep], np.float32
+        )
+        b = len(keep)
+        group_of = np.asarray(
+            [remap[class_group[c]] for c in assignment], np.int32
+        )
+
+        group_moff = np.concatenate([[0], np.cumsum(group_sizes)[:-1]])
+        group_tiles = np.maximum(1, -(-group_sizes // _ST))
+        group_pad_off = np.concatenate([[0], np.cumsum(group_tiles * _ST)[:-1]])
+        q_blocks = np.maximum(1, -(-group_sizes // _Q))
+        group_qoff = np.concatenate([[0], np.cumsum(q_blocks * _Q)[:-1]])
+        nb = int(np.sum(q_blocks))
+
+        # ---- span tile counts per (query group, target group): the same
+        # sizing heuristic as the jnp path (expected block overlap + base
+        # window + conservative-radius fraction of the target group),
+        # evaluated per PAIR because the query-side weight bound is now the
+        # query group's own max, not a global light-query max
+        spread = max(float(n) ** (1.0 / d), 1e-9)
+        t_table = np.zeros((b, b), np.int64)
+        for qg in range(b):
+            for tg in range(b):
+                n_t = int(group_sizes[tg])
+                frac = min(
+                    1.0, 2.0 * L * float(bmaxpow[qg] * bmaxpow[tg]) / spread
+                )
+                s_target = span_scale * (
+                    3.0 * _Q * n_t / max(n, 1)
+                    + opts.window_capacity
+                    + frac * n_t
+                )
+                t_table[qg, tg] = min(
+                    max(1, _cdiv(int(np.ceil(s_target)), _ST)),
+                    int(group_tiles[tg]),
+                )
+
+        blk_group = np.repeat(np.arange(b, dtype=np.int32), q_blocks)
+        blk_t = t_table[blk_group]  # (NB, B)
+
+        # ---- static work-tile tables
+        wt_qblk, wt_pair, wt_off, wt_first = [], [], [], []
+        tile_off = group_pad_off // _ST
+        for i in range(nb):
+            first = True
+            for g in range(b):
+                for t in range(int(blk_t[i, g])):
+                    wt_qblk.append(i)
+                    wt_pair.append(i * b + g)
+                    wt_off.append(int(tile_off[g]) + t)
+                    wt_first.append(1 if first else 0)
+                    first = False
+        w = len(wt_qblk)
+
+        # channel count: [pos(d), invw, Lwpow|colorpad, bmaxpow, ...] and the
+        # output needs d + 4 channels — both padded to a multiple of 8
+        c = _round_up(max(d + 4, 8), 8)
+
+        # ---- directed-edge correction tables
+        esrc = np.asarray(edge_src, np.int32)
+        edst = np.asarray(edge_dst, np.int32)
+        e = esrc.shape[0]
+        e_pad = max(512, _round_up(e, 512))
+        pad = e_pad - e
+        emask = np.concatenate([np.ones(e, bool), np.zeros(pad, bool)])
+        # padding src = n-1 keeps the directed array src-sorted (CSR order),
+        # so the correction's segment_sums may use indices_are_sorted; the
+        # padded rows contribute exact zeros (mask -> coeff 0)
+        esrc_p = np.concatenate([esrc, np.full(pad, n - 1, np.int32)])
+        edst_p = np.concatenate([edst, np.zeros(pad, np.int32)])
+        eg = group_of[edst_p]
+        cov_len = (t_table[group_of[esrc_p], eg] * _ST).astype(np.int32)
+
+        sorted_moff = np.repeat(group_moff, group_sizes).astype(np.int32)
+        sorted_shift_pad = np.repeat(
+            group_pad_off - group_moff, group_sizes
+        ).astype(np.int32)
+        sorted_shift_q = np.repeat(
+            group_qoff - group_moff, group_sizes
+        ).astype(np.int32)
+        bmaxpow_padded = np.zeros(
+            int(group_pad_off[-1] + group_tiles[-1] * _ST), np.float32
+        )
+        for g in range(b):
+            o = int(group_pad_off[g])
+            bmaxpow_padded[o : o + int(group_sizes[g])] = bmaxpow[g]
+
+        return SpanIndex(
+            n=n,
+            d=d,
+            num_channels=c,
+            num_groups=b,
+            nb=nb,
+            w=w,
+            group_sizes=group_sizes,
+            group_moff=group_moff.astype(np.int64),
+            group_qoff=group_qoff.astype(np.int64),
+            group_pad_off=group_pad_off.astype(np.int64),
+            group_tiles=group_tiles.astype(np.int64),
+            bmaxpow=bmaxpow,
+            t_table=t_table,
+            group_of=group_of,
+            sorted_moff=sorted_moff,
+            sorted_shift_pad=sorted_shift_pad,
+            sorted_shift_q=sorted_shift_q,
+            bmaxpow_padded=bmaxpow_padded,
+            wt_qblk=np.asarray(wt_qblk, np.int32),
+            wt_pair=np.asarray(wt_pair, np.int32),
+            wt_off=np.asarray(wt_off, np.int32),
+            wt_first=np.asarray(wt_first, np.int32),
+            blk_t=blk_t.astype(np.int32),
+            blk_group=blk_group,
+            edge_src=esrc_p,
+            edge_dst=edst_p,
+            edge_mask=emask,
+            edge_dst_group=eg.astype(np.int32),
+            edge_cov_len=cov_len,
+            edge_bmaxpow=bmaxpow[eg].astype(np.float32),
+            span_scale=float(span_scale),
+        )
+
+
+# ----------------------------------------------------- per-step structures
+
+
+class SpanStructures(NamedTuple):
+    """Per-iteration sorted structures consumed by the kernel — the output
+    of the index REBUILD phase (the reference's updateIndex + SnnModel
+    constructor: projection + sort, NewWEmbedEmbedder.cpp:258-286,
+    snn.cpp:97-147)."""
+
+    qdata: jax.Array  # (NB, _Q, C) f32
+    qcol: jax.Array  # (NB, _Q, 1) i32
+    sdata: jax.Array  # (C, NPA) f32
+    scol: jax.Array  # (1, NPA) i32
+    stile: jax.Array  # (W,) i32 — global span tile per work tile
+    start_tile: jax.Array  # (NB, B) i32 — local window start tiles
+    q_ids: jax.Array  # (NQ,) i32 — vertex per query slot, sentinel n
+    rank_of: jax.Array  # (n,) i32 — local sorted rank within own group
+    block_of: jax.Array  # (n,) i32 — query block per vertex
+    lwpow: jax.Array  # (n,) f32 — L * w^(1/d)
+    overflow: jax.Array  # i32 scalar — candidates beyond the tile windows
+
+
+def build_span_structures(
+    positions: jax.Array,
+    inv_w: jax.Array,
+    weights: jax.Array,
+    colors: jax.Array,
+    idx: SpanIndex,
+    opts,
+) -> SpanStructures:
+    """Project positions onto the global principal axis and sort every
+    group's members (== queries) by projection; derive the dynamic window
+    start tiles from per-block conservative searchsorted bounds."""
+    from ..core.candidates import _principal_axis
+
+    n, d = positions.shape
+    f32 = jnp.float32
+    positions = positions.astype(f32)
+    b, nb = idx.num_groups, idx.nb
+    c = idx.num_channels
+    npa, nq = idx.npa, idx.nq
+    L = float(opts.edge_length)
+
+    centered = positions - jnp.mean(positions, axis=0)
+    axis = _principal_axis(centered)
+    proj = centered @ axis  # (n,)
+
+    group = jnp.asarray(idx.group_of)
+    order = jnp.lexsort((proj, group))  # (n,) group-major, projection-minor
+
+    pos_s = positions[order]  # (n, d)
+    invw_s = inv_w.astype(f32)[order]
+    lwpow = (L * jnp.power(weights.astype(f32), f32(1.0 / d))).astype(f32)
+    lwpow_s = lwpow[order]
+    col_s = colors[order].astype(jnp.int32)
+    proj_s = proj[order]
+
+    j = jnp.arange(n, dtype=jnp.int32)
+    pad_idx = j + jnp.asarray(idx.sorted_shift_pad)
+    q_idx = j + jnp.asarray(idx.sorted_shift_q)
+
+    # ---- span-side padded rows (C, NPA)
+    rows = []
+    for k in range(d):
+        rows.append(
+            jnp.full((npa,), _S_SENTINEL, f32).at[pad_idx].set(pos_s[:, k])
+        )
+    rows.append(jnp.ones((npa,), f32).at[pad_idx].set(invw_s))
+    rows.append(jnp.asarray(idx.bmaxpow_padded))  # static bmaxpow row
+    while len(rows) < c:
+        rows.append(jnp.zeros((npa,), f32))
+    sdata = jnp.stack(rows)  # (C, NPA)
+    scol = jnp.full((1, npa), -3, jnp.int32).at[0, pad_idx].set(col_s)
+
+    # ---- query-side blocks (NB, _Q, C)
+    qrows = []
+    for k in range(d):
+        qrows.append(
+            jnp.full((nq,), _Q_SENTINEL, f32).at[q_idx].set(pos_s[:, k])
+        )
+    qrows.append(jnp.ones((nq,), f32).at[q_idx].set(invw_s))
+    qrows.append(jnp.zeros((nq,), f32).at[q_idx].set(lwpow_s))
+    while len(qrows) < c:
+        qrows.append(jnp.zeros((nq,), f32))
+    qdata = jnp.stack(qrows, axis=-1).reshape(nb, _Q, c)
+    qcol = (
+        jnp.full((nq,), -2, jnp.int32).at[q_idx].set(col_s).reshape(nb, _Q, 1)
+    )
+    q_ids = jnp.full((nq,), n, jnp.int32).at[q_idx].set(order.astype(jnp.int32))
+    qreal = jnp.zeros((nq,), bool).at[q_idx].set(True)
+
+    # ---- per-block conservative projection windows -> dynamic start tiles
+    proj_q = jnp.zeros((nq,), f32).at[q_idx].set(proj_s).reshape(nb, _Q)
+    lw_q = jnp.zeros((nq,), f32).at[q_idx].set(lwpow_s).reshape(nb, _Q)
+    real_b = qreal.reshape(nb, _Q)
+    minproj = jnp.min(jnp.where(real_b, proj_q, jnp.inf), axis=1)
+    maxproj = jnp.max(jnp.where(real_b, proj_q, -jnp.inf), axis=1)
+    maxlw = jnp.max(jnp.where(real_b, lw_q, 0.0), axis=1)
+
+    bmax = jnp.asarray(idx.bmaxpow)  # (B,)
+    lo = minproj[:, None] - maxlw[:, None] * bmax[None, :]  # (NB, B)
+    hi = maxproj[:, None] + maxlw[:, None] * bmax[None, :]
+
+    starts, stops = [], []
+    for g in range(b):
+        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
+        sp = proj_s[o : o + sz]
+        starts.append(jnp.searchsorted(sp, lo[:, g]).astype(jnp.int32))
+        stops.append(
+            jnp.searchsorted(sp, hi[:, g], side="right").astype(jnp.int32)
+        )
+    start = jnp.stack(starts, axis=1)  # (NB, B)
+    stop = jnp.stack(stops, axis=1)
+
+    t_blk = jnp.asarray(idx.blk_t)  # (NB, B)
+    tiles = jnp.asarray(idx.group_tiles.astype(np.int32))[None, :]
+    # slide the T-tile window to cover [start, stop) when possible: prefer
+    # ending at ceil(stop/ST), never starting after floor(start/ST), clamp
+    # into the group
+    start_tile = jnp.clip(
+        jnp.minimum(-(-stop // _ST) - t_blk, start // _ST),
+        0,
+        tiles - t_blk,
+    ).astype(jnp.int32)
+    cov_end = (start_tile + t_blk) * _ST
+    overflow = jnp.sum(jnp.maximum(stop - cov_end, 0), dtype=jnp.int32)
+
+    wt_pair = jnp.asarray(idx.wt_pair)
+    stile = (
+        start_tile.reshape(-1)[wt_pair] + jnp.asarray(idx.wt_off)
+    ).astype(jnp.int32)
+
+    rank_of = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(j - jnp.asarray(idx.sorted_moff))
+    )
+    block_of = jnp.zeros((n,), jnp.int32).at[order].set(q_idx // _Q)
+
+    return SpanStructures(
+        qdata=qdata,
+        qcol=qcol,
+        sdata=sdata,
+        scol=scol,
+        stile=stile,
+        start_tile=start_tile,
+        q_ids=q_ids,
+        rank_of=rank_of,
+        block_of=block_of,
+        lwpow=lwpow,
+        overflow=overflow,
+    )
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def _span_kernel(
+    qblk_ref,  # scalar prefetch (W,) i32
+    stile_ref,  # scalar prefetch (W,) i32
+    first_ref,  # scalar prefetch (W,) i32
+    qdata_ref,  # (1, _Q, C) f32
+    qcol_ref,  # (1, _Q, 1) i32
+    sdata_ref,  # (C, _ST) f32
+    scol_ref,  # (1, _ST) i32
+    out_ref,  # (1, _Q, C) f32, accumulated across a query block's tiles
+    *,
+    d: int,
+    c: int,
+    L: float,
+    rep_scale: float,
+    additive: bool,
+):
+    w = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(first_ref[w] == 1)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    q = qdata_ref[0]  # (_Q, C)
+    s = sdata_ref[:]  # (C, _ST)
+    qcol = qcol_ref[0]  # (_Q, 1) i32
+    scol = scol_ref[:]  # (1, _ST) i32
+
+    # dist^2 by per-dimension accumulation — full relative precision (the
+    # gram form loses ~|p|^2*eps to cancellation, flipping dead zones)
+    dist2 = jnp.zeros((_Q, _ST), f32)
+    for k in range(d):
+        diff_k = q[:, k : k + 1] - s[k : k + 1, :]
+        dist2 += diff_k * diff_k
+
+    r = q[:, d + 1 : d + 2] * s[d + 1 : d + 2, :]  # Lwpow_q * bmaxpow_s
+    iw_q = q[:, d : d + 1]
+    iw_s = s[d : d + 1, :]
+    ws = (iw_q + iw_s) if additive else (iw_q * iw_s)
+
+    valid = (dist2 <= r * r) & (qcol != scol)
+    posd = dist2 > f32(0.0)
+    active = valid & (dist2 * (ws * ws) <= f32(L * L)) & posd
+
+    # full-precision sqrt/divide (lax.rsqrt's ~2^-12 bias is visible in
+    # the summed losses; same choice as the fused dense kernel)
+    dist = jnp.sqrt(dist2)
+    inv_dist = f32(1.0) / jnp.maximum(dist, f32(1e-30))
+    coeff = jnp.where(active, f32(rep_scale) * ws * inv_dist, f32(0.0))
+
+    rowsum = jnp.sum(coeff, axis=1, keepdims=True)  # (_Q, 1)
+    cols = []
+    for k in range(d):
+        cols.append(jnp.sum(coeff * s[k : k + 1, :], axis=1, keepdims=True))
+    cols.append(rowsum)
+    cols.append(
+        jnp.sum(
+            jnp.where(active, f32(L) / ws - dist, f32(0.0)),
+            axis=1,
+            keepdims=True,
+        )
+    )
+    cols.append(jnp.sum(valid.astype(f32), axis=1, keepdims=True))
+    cols.append(jnp.sum((valid & ~posd).astype(f32), axis=1, keepdims=True))
+    if len(cols) < c:
+        cols.append(jnp.zeros((_Q, c - len(cols)), f32))
+    out_ref[0] += jnp.concatenate(cols, axis=1)
+
+
+def span_query(
+    structures: SpanStructures,
+    idx: SpanIndex,
+    opts,
+    interpret: bool = False,
+):
+    """Run the fused candidate sweep.  Returns per-query-slot channel
+    accumulators (NB, _Q, C): [acc_pos(d), rowsum, loss, count, zero]."""
+    c, d = idx.num_channels, idx.d
+    kern = functools.partial(
+        _span_kernel,
+        d=d,
+        c=c,
+        L=float(opts.edge_length),
+        rep_scale=float(opts.repulsion_scale),
+        additive=bool(opts.additive_weights),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(idx.w,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _Q, c),
+                lambda w, qblk, stile, first: (qblk[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _Q, 1),
+                lambda w, qblk, stile, first: (qblk[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (c, _ST),
+                lambda w, qblk, stile, first: (0, stile[w]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _ST),
+                lambda w, qblk, stile, first: (0, stile[w]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _Q, c),
+            lambda w, qblk, stile, first: (qblk[w], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((idx.nb, _Q, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=idx.w * _Q * _ST * (3 * d + 16),
+            bytes_accessed=idx.w * (_ST * (c + 1) + _Q * (c + 1)) * 4,
+            transcendentals=idx.w * _Q * _ST,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(idx.wt_qblk),
+        structures.stile,
+        jnp.asarray(idx.wt_first),
+        structures.qdata,
+        structures.qcol,
+        structures.sdata,
+        structures.scol,
+    )
+
+
+# ------------------------------------------------------------ full wrapper
+
+
+def span_repulsion_forces(
+    positions: jax.Array,
+    inv_w: jax.Array,
+    weights: jax.Array,
+    colors: jax.Array,
+    idx: SpanIndex,
+    opts,
+    interpret: bool = False,
+    structures: SpanStructures | None = None,
+):
+    """Sparse repulsion via the fused span kernel + O(E) edge correction.
+
+    Returns (force (n, d), repel_loss, num_rep_candidates, overflow,
+    zero_count (n,)) with the same contract as
+    ``candidates.bucket_repulsion_forces`` (the jnp path): the caller
+    applies coincident-point kicks from ``zero_count``; ``overflow``
+    counts true in-radius candidates beyond the tile windows.  Candidate
+    radii use the MERGED group's max weight, so ``num_rep_candidates``
+    can exceed the per-class counts of the reference/jnp paths; forces
+    are unaffected (the active condition implies the candidate radius).
+    """
+    n, d = positions.shape
+    dtype = positions.dtype
+    f32 = jnp.float32
+    L = float(opts.edge_length)
+
+    if structures is None:
+        structures = build_span_structures(
+            positions, inv_w, weights, colors, idx, opts
+        )
+    out = span_query(structures, idx, opts, interpret=interpret)
+
+    c = idx.num_channels
+    flat = out.reshape(idx.nq, c)
+    qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
+    force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
+    q_ids = structures.q_ids
+    force = (
+        jnp.zeros((n, d), f32).at[q_ids].add(force_q, mode="drop")
+    )
+    loss = jnp.sum(flat[:, d + 1], dtype=f32)
+    count = jnp.sum(flat[:, d + 2], dtype=f32).astype(jnp.int32)
+    zero_count = (
+        jnp.zeros((n,), jnp.int32)
+        .at[q_ids]
+        .add(flat[:, d + 3].astype(jnp.int32), mode="drop")
+    )
+
+    # ---- O(E) neighbor correction (reference filters candidates by
+    # areNeighbors at query time, NewWEmbedEmbedder.cpp:328).  Inclusion
+    # mirrors the kernel exactly: same radius product form, same covered
+    # tile windows; the force is removed in the kernel's own algebraic
+    # form (q*rowsum_corr - acc_corr).
+    esrc = jnp.asarray(idx.edge_src)
+    edst = jnp.asarray(idx.edge_dst)
+    emask = jnp.asarray(idx.edge_mask)
+    eg = jnp.asarray(idx.edge_dst_group)
+    b = idx.num_groups
+
+    psrc = positions.astype(f32)[esrc]
+    pdst = positions.astype(f32)[edst]
+    diff = psrc - pdst
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    r_e = structures.lwpow[esrc] * jnp.asarray(idx.edge_bmaxpow)
+    cov_start = (
+        structures.start_tile.reshape(-1)[structures.block_of[esrc] * b + eg]
+        * _ST
+    )
+    rank = structures.rank_of[edst]
+    included = (
+        emask
+        & (dist2 <= r_e * r_e)
+        & (rank >= cov_start)
+        & (rank < cov_start + jnp.asarray(idx.edge_cov_len))
+        & (colors[esrc] != colors[edst])
+    )
+    ws = (
+        (inv_w.astype(f32)[esrc] + inv_w.astype(f32)[edst])
+        if opts.additive_weights
+        else (inv_w.astype(f32)[esrc] * inv_w.astype(f32)[edst])
+    )
+    posd = dist2 > 0
+    active = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
+    dist = jnp.sqrt(dist2)
+    inv_dist = f32(1.0) / jnp.maximum(dist, f32(1e-30))
+    coeff = jnp.where(active, f32(opts.repulsion_scale) * ws * inv_dist, 0.0)
+    rc = jax.ops.segment_sum(
+        coeff, esrc, num_segments=n, indices_are_sorted=True
+    )
+    ac = jax.ops.segment_sum(
+        coeff[:, None] * pdst, esrc, num_segments=n, indices_are_sorted=True
+    )
+    force = force - (positions.astype(f32) * rc[:, None] - ac)
+    loss = loss - jnp.sum(jnp.where(active, f32(L) / ws - dist, 0.0), dtype=f32)
+    count = count - jnp.sum(included, dtype=jnp.int32)
+    zero_count = zero_count - jax.ops.segment_sum(
+        (included & ~posd).astype(jnp.int32),
+        esrc,
+        num_segments=n,
+        indices_are_sorted=True,
+    )
+    return (
+        force.astype(dtype),
+        loss,
+        count,
+        structures.overflow,
+        zero_count,
+    )
