@@ -179,24 +179,36 @@ def test_span_embedder_matches_jnp_bucket():
     from wembed_tpu.kernels import span_sparse as span_mod
 
     assert isinstance(emb_s._index, span_mod.SpanIndex)
+    # f32 trajectories diverge chaotically (hinge flips near dist*ws == L
+    # compound through Adam), so instead of comparing two trajectories,
+    # drive ONE trajectory (the jnp path) and compare the span path's
+    # FORCE FIELD at the same positions every step — a far stronger
+    # semantic check over diverse configurations.
+    import jax
+    import jax.numpy as jnp
+
+    from wembed_tpu.core import candidates as cand_mod
+    from wembed_tpu.core.state import DeviceGraph
+
+    dg = DeviceGraph.build(g)
+    invw = jnp.asarray(emb_j._inv_w, jnp.float32)
+    wj = jnp.asarray(emb_j._weights, jnp.float32)
     for it in range(3):
-        emb_s.calculate_step()
         emb_j.calculate_step()
-        assert int(emb_s.state.overflow) == 0
-        # step 1 is tight; later steps admit hinge flips (pairs whose
-        # dist*ws lands within f32 rounding of L activate on one path
-        # only), whose bounded force error compounds chaotically — same
-        # caveat as the fused dense test above.  The LOSS stays tight
-        # every step: the force fields are semantically identical.
-        atol = 3e-5 if it == 0 else 5e-3
-        np.testing.assert_allclose(
-            emb_s.get_coordinates(), emb_j.get_coordinates(), rtol=3e-4, atol=atol
+        pos = jnp.asarray(emb_j.state.positions, jnp.float32)
+        f_s, loss_s, _, ovf_s, zc_s = span_mod.span_repulsion_forces(
+            pos, invw, wj, dg.colors, emb_s._index, opts_s, interpret=True
         )
-        np.testing.assert_allclose(
-            float(emb_s.state.repel_loss),
-            float(emb_j.state.repel_loss),
-            rtol=1e-4,
+        f_j, loss_j, _, ovf_j, zc_j = cand_mod.bucket_repulsion_forces(
+            pos, invw, wj, dg, emb_j._index, opts_j, jax.random.PRNGKey(it)
         )
+        assert int(ovf_s) == 0 and int(ovf_j) == 0
+        scale = float(jnp.max(jnp.abs(f_j))) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(f_s) / scale, np.asarray(f_j) / scale, atol=5e-5
+        )
+        np.testing.assert_allclose(float(loss_s), float(loss_j), rtol=2e-4)
+        assert bool(jnp.all(zc_s == zc_j))
 
 
 def test_span_overflow_grows_and_recovers():
@@ -224,3 +236,33 @@ def test_span_overflow_grows_and_recovers():
             pos * 100.0, inv_w, w, dg.colors, idx, opts, interpret=True
         )
     assert int(ovf) == 0
+
+
+def test_span_adaptive_growth_covers_in_one_rebuild():
+    """grow_from_needs widens exactly the starved windows: one rebuild
+    from measured needs must reach overflow 0 and dense-oracle forces."""
+    import jax.numpy as jnp
+
+    from wembed_tpu.core import forces
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, opts, w, inv_w, pos, idx, dg = _span_setup(3000, 2, False, 1e-6, seed=5)
+    pos = pos * 100.0  # spread positions so 1-tile windows overflow
+    s = span_mod.build_span_structures(pos, inv_w, w, dg.colors, idx, opts)
+    assert int(s.overflow) > 0
+    grown = idx.grow_from_needs(np.asarray(s.need))
+    assert grown is not None and grown.w > idx.w
+    s2 = span_mod.build_span_structures(pos, inv_w, w, dg.colors, grown, opts)
+    assert int(s2.overflow) == 0
+    f, loss, cnt, ovf, zc = span_mod.span_repulsion_forces(
+        pos, inv_w, w, dg.colors, grown, opts, interpret=True, structures=s2
+    )
+    adj = forces.build_dense_adjacency(dg)
+    fd, lossd, _, zcd = forces.dense_repulsion_forces(
+        pos, inv_w, adj, dg.colors, opts
+    )
+    scale = float(jnp.max(jnp.abs(fd))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f) / scale, np.asarray(fd) / scale, atol=5e-5
+    )
+    assert bool(jnp.all(zc == zcd))

@@ -146,7 +146,28 @@ class WEmbedEmbedder:
         if isinstance(self._index, span_mod.SpanIndex):
             if not self._index.can_grow():
                 return False  # windows already cover every group entirely
-        elif all(
+            # adaptive growth: measure the CURRENT positions' per-pair
+            # window needs (one structures build, host round-trip) and
+            # widen exactly the starved windows — one rebuild instead of
+            # O(log) blind doublings
+            structures = span_mod.build_span_structures(
+                self._state.positions.astype(jnp.float32),
+                jnp.asarray(self._inv_w, jnp.float32),
+                jnp.asarray(self._weights, jnp.float32),
+                self._dg.colors,
+                self._index,
+                self.opts,
+            )
+            grown = self._index.grow_from_needs(np.asarray(structures.need))
+            if grown is None:
+                return False
+            self._span_scale *= 2.0  # bookkeeping only: caps total growth
+            self._index = grown
+            self._step_fn = step_mod.build_step(self._dg, self.opts, grown)
+            self._jitted_step = jax.jit(self._step_fn)
+            self._phase_fns = None
+            return True
+        if all(
             b.span >= b.sample_size for b in self._index.buckets
         ):
             return False  # spans already cover every bucket entirely

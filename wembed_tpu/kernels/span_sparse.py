@@ -77,6 +77,30 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _assemble_work_tiles(nb, b, blk_t, group_pad_off):
+    """Static (W, qblk, pair, off, first) work-tile tables from per-block
+    tile counts — the flattened pallas grid order (block-major so output
+    blocks are revisited on consecutive grid steps)."""
+    tile_off = np.asarray(group_pad_off) // _ST
+    wt_qblk, wt_pair, wt_off, wt_first = [], [], [], []
+    for i in range(nb):
+        first = True
+        for g in range(b):
+            for t in range(int(blk_t[i, g])):
+                wt_qblk.append(i)
+                wt_pair.append(i * b + g)
+                wt_off.append(int(tile_off[g]) + t)
+                wt_first.append(1 if first else 0)
+                first = False
+    return (
+        len(wt_qblk),
+        np.asarray(wt_qblk, np.int32),
+        np.asarray(wt_pair, np.int32),
+        np.asarray(wt_off, np.int32),
+        np.asarray(wt_first, np.int32),
+    )
+
+
 # ----------------------------------------------------------------- skeleton
 
 
@@ -137,6 +161,55 @@ class SpanIndex:
         """False once every (query group, target group) pair already scans
         the whole target group — growth could not add candidates."""
         return bool(np.any(self.t_table < self.group_tiles[None, :]))
+
+    def grow_from_needs(self, needs: np.ndarray) -> "SpanIndex | None":
+        """Adaptive growth: widen each (query group, target group) window to
+        the MEASURED per-block searchsorted need (``SpanStructures.need``,
+        (NB, B) member counts) plus one headroom tile, instead of blindly
+        doubling a global scale.  The reference never truncates (its radius
+        index is exact, WeightedIndex.cpp:65-100); this converges to the
+        same no-truncation guarantee in O(1) rebuilds rather than O(log)
+        doublings, and only widens the pairs that actually overflowed.
+
+        Returns the regrown index, or None if already fully covering."""
+        needs = np.asarray(needs)
+        b = self.num_groups
+        need_pair = np.zeros((b, b), np.int64)
+        for qg in range(b):
+            rows = needs[self.blk_group == qg]
+            if rows.size:
+                need_pair[qg] = rows.max(axis=0)
+        t_new = np.minimum(
+            np.maximum(self.t_table, -(-need_pair // _ST) + 1),
+            self.group_tiles[None, :],
+        )
+        if np.array_equal(t_new, self.t_table):
+            return None
+        return self._with_t_table(t_new)
+
+    def _with_t_table(self, t_table: np.ndarray) -> "SpanIndex":
+        """Same group skeleton, new per-pair window widths: reassemble the
+        static work-tile list and the edge-correction coverage lengths."""
+        from dataclasses import replace
+
+        blk_t = t_table[self.blk_group].astype(np.int32)
+        wt = _assemble_work_tiles(
+            self.nb, self.num_groups, blk_t, self.group_pad_off
+        )
+        cov_len = (
+            t_table[self.group_of[self.edge_src], self.edge_dst_group] * _ST
+        ).astype(np.int32)
+        return replace(
+            self,
+            t_table=t_table,
+            blk_t=blk_t,
+            w=wt[0],
+            wt_qblk=wt[1],
+            wt_pair=wt[2],
+            wt_off=wt[3],
+            wt_first=wt[4],
+            edge_cov_len=cov_len,
+        )
 
     @staticmethod
     def build(
@@ -222,18 +295,9 @@ class SpanIndex:
         blk_t = t_table[blk_group]  # (NB, B)
 
         # ---- static work-tile tables
-        wt_qblk, wt_pair, wt_off, wt_first = [], [], [], []
-        tile_off = group_pad_off // _ST
-        for i in range(nb):
-            first = True
-            for g in range(b):
-                for t in range(int(blk_t[i, g])):
-                    wt_qblk.append(i)
-                    wt_pair.append(i * b + g)
-                    wt_off.append(int(tile_off[g]) + t)
-                    wt_first.append(1 if first else 0)
-                    first = False
-        w = len(wt_qblk)
+        w, wt_qblk, wt_pair, wt_off, wt_first = _assemble_work_tiles(
+            nb, b, blk_t, group_pad_off
+        )
 
         # channel count: [pos(d), invw, Lwpow|colorpad, bmaxpow, ...] and the
         # output needs d + 4 channels — both padded to a multiple of 8
@@ -287,10 +351,10 @@ class SpanIndex:
             sorted_shift_pad=sorted_shift_pad,
             sorted_shift_q=sorted_shift_q,
             bmaxpow_padded=bmaxpow_padded,
-            wt_qblk=np.asarray(wt_qblk, np.int32),
-            wt_pair=np.asarray(wt_pair, np.int32),
-            wt_off=np.asarray(wt_off, np.int32),
-            wt_first=np.asarray(wt_first, np.int32),
+            wt_qblk=wt_qblk,
+            wt_pair=wt_pair,
+            wt_off=wt_off,
+            wt_first=wt_first,
             blk_t=blk_t.astype(np.int32),
             blk_group=blk_group,
             edge_src=esrc_p,
@@ -323,6 +387,7 @@ class SpanStructures(NamedTuple):
     block_of: jax.Array  # (n,) i32 — query block per vertex
     lwpow: jax.Array  # (n,) f32 — L * w^(1/d)
     overflow: jax.Array  # i32 scalar — candidates beyond the tile windows
+    need: jax.Array  # (NB, B) i32 — window members needed per (block, group)
 
 
 def build_span_structures(
@@ -364,27 +429,35 @@ def build_span_structures(
     pad_idx = j + jnp.asarray(idx.sorted_shift_pad)
     q_idx = j + jnp.asarray(idx.sorted_shift_q)
 
-    # ---- span-side padded rows (C, NPA)
+    # ---- span-side padded rows (C, NPA):
+    # [pos(d), invw, bmax^2 (static), ones, rawexp] — bmax SQUARED so the
+    # kernel's radius test is one multiply; the ones row turns the MXU
+    # reduction dot into the rowsum; rawexp = 1/invw so L/ws is a product
     rows = []
     for k in range(d):
         rows.append(
             jnp.full((npa,), _S_SENTINEL, f32).at[pad_idx].set(pos_s[:, k])
         )
     rows.append(jnp.ones((npa,), f32).at[pad_idx].set(invw_s))
-    rows.append(jnp.asarray(idx.bmaxpow_padded))  # static bmaxpow row
+    rows.append(jnp.square(jnp.asarray(idx.bmaxpow_padded)))
+    rows.append(jnp.zeros((npa,), f32).at[pad_idx].set(1.0))
+    rows.append(
+        jnp.zeros((npa,), f32).at[pad_idx].set(1.0 / invw_s)
+    )
     while len(rows) < c:
         rows.append(jnp.zeros((npa,), f32))
     sdata = jnp.stack(rows)  # (C, NPA)
     scol = jnp.full((1, npa), -3, jnp.int32).at[0, pad_idx].set(col_s)
 
-    # ---- query-side blocks (NB, _Q, C)
+    # ---- query-side blocks (NB, _Q, C): [pos(d), invw, (L*w^(1/d))^2, rawexp]
     qrows = []
     for k in range(d):
         qrows.append(
             jnp.full((nq,), _Q_SENTINEL, f32).at[q_idx].set(pos_s[:, k])
         )
     qrows.append(jnp.ones((nq,), f32).at[q_idx].set(invw_s))
-    qrows.append(jnp.zeros((nq,), f32).at[q_idx].set(lwpow_s))
+    qrows.append(jnp.zeros((nq,), f32).at[q_idx].set(jnp.square(lwpow_s)))
+    qrows.append(jnp.zeros((nq,), f32).at[q_idx].set(1.0 / invw_s))
     while len(qrows) < c:
         qrows.append(jnp.zeros((nq,), f32))
     qdata = jnp.stack(qrows, axis=-1).reshape(nb, _Q, c)
@@ -454,6 +527,7 @@ def build_span_structures(
         block_of=block_of,
         lwpow=lwpow,
         overflow=overflow,
+        need=stop - start,
     )
 
 
@@ -495,37 +569,63 @@ def _span_kernel(
         diff_k = q[:, k : k + 1] - s[k : k + 1, :]
         dist2 += diff_k * diff_k
 
-    r = q[:, d + 1 : d + 2] * s[d + 1 : d + 2, :]  # Lwpow_q * bmaxpow_s
+    # radius test with pre-squared channels: dist2 <= (L w_q^(1/d))^2 * bmax^(2/d)
+    colorok = qcol != scol
+    valid = (dist2 <= q[:, d + 1 : d + 2] * s[d + 1 : d + 2, :]) & colorok
     iw_q = q[:, d : d + 1]
     iw_s = s[d : d + 1, :]
     ws = (iw_q + iw_s) if additive else (iw_q * iw_s)
 
-    valid = (dist2 <= r * r) & (qcol != scol)
     posd = dist2 > f32(0.0)
     active = valid & (dist2 * (ws * ws) <= f32(L * L)) & posd
 
-    # full-precision sqrt/divide (lax.rsqrt's ~2^-12 bias is visible in
-    # the summed losses; same choice as the fused dense kernel)
-    dist = jnp.sqrt(dist2)
-    inv_dist = f32(1.0) / jnp.maximum(dist, f32(1e-30))
-    coeff = jnp.where(active, f32(rep_scale) * ws * inv_dist, f32(0.0))
+    # rsqrt + one Newton step recovers ~1ulp precision at a fraction of
+    # the sqrt+divide cost (the summed losses are compared against the
+    # dense oracle at 1e-4)
+    inv = lax.rsqrt(jnp.maximum(dist2, f32(1e-30)))
+    inv = inv * (f32(1.5) - f32(0.5) * dist2 * inv * inv)
+    dist = dist2 * inv
+    coeff = jnp.where(active, f32(rep_scale) * ws * inv, f32(0.0))
 
-    rowsum = jnp.sum(coeff, axis=1, keepdims=True)  # (_Q, 1)
-    cols = []
-    for k in range(d):
-        cols.append(jnp.sum(coeff * s[k : k + 1, :], axis=1, keepdims=True))
-    cols.append(rowsum)
-    cols.append(
-        jnp.sum(
-            jnp.where(active, f32(L) / ws - dist, f32(0.0)),
-            axis=1,
-            keepdims=True,
-        )
+    # L/ws = L * rawexp_q * rawexp_s in the multiplicative default (one
+    # multiply); additive weights keep the divide
+    if additive:
+        l_over_ws = f32(L) / ws
+    else:
+        l_over_ws = f32(L) * q[:, d + 2 : d + 3] * s[d + 3 : d + 4, :]
+    lossel = jnp.where(active, l_over_ws - dist, f32(0.0))
+
+    # ALL row reductions in one MXU dot: [coeff; lossel; valid; zero]
+    # (4_Q, _ST) contracted with s (C, _ST) -> (4_Q, C).  The coeff rows
+    # yield the weighted position accumulators on the pos channels and the
+    # rowsum on the constant-ones channel; the other three only need the
+    # ones channel.
+    stack = jnp.concatenate(
+        [
+            coeff,
+            lossel,
+            valid.astype(f32),
+            (valid & ~posd).astype(f32),
+        ],
+        axis=0,
     )
-    cols.append(jnp.sum(valid.astype(f32), axis=1, keepdims=True))
-    cols.append(jnp.sum((valid & ~posd).astype(f32), axis=1, keepdims=True))
-    if len(cols) < c:
-        cols.append(jnp.zeros((_Q, c - len(cols)), f32))
+    dots = lax.dot_general(
+        stack,
+        s,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (4_Q, C)
+    ones_ch = d + 2
+    acc = dots[:_Q]  # pos channels + rowsum
+    cols = [
+        acc[:, :d],
+        acc[:, ones_ch : ones_ch + 1],
+        dots[_Q : 2 * _Q, ones_ch : ones_ch + 1],
+        dots[2 * _Q : 3 * _Q, ones_ch : ones_ch + 1],
+        dots[3 * _Q : 4 * _Q, ones_ch : ones_ch + 1],
+    ]
+    if d + 4 < c:
+        cols.append(jnp.zeros((_Q, c - (d + 4)), f32))
     out_ref[0] += jnp.concatenate(cols, axis=1)
 
 
