@@ -10,7 +10,12 @@ HERE="$(cd "$(dirname "$0")" && pwd)"
 EIGEN=/opt/venv/lib/python3.12/site-packages/tensorflow/include
 mkdir -p "$OUT"
 
-INC="-I$HERE -I$EIGEN -I$REF/include"
+# the reference includes <eigen3/Eigen/Dense>; shim that prefix onto
+# tensorflow's bundled Eigen
+mkdir -p "$OUT/eigenshim/eigen3"
+ln -sfn "$EIGEN/Eigen" "$OUT/eigenshim/eigen3/Eigen"
+ln -sfn "$EIGEN/unsupported" "$OUT/eigenshim/eigen3/unsupported"
+INC="-I$HERE -I$EIGEN -I$OUT/eigenshim -I$REF/include"
 for lib in utilLib graphLib embeddingLib evaluationLib; do
   for d in "$REF/src/$lib/include" "$REF/src/$lib/include"/*/; do
     [ -d "$d" ] && INC="$INC -I${d%/}"

@@ -616,7 +616,9 @@ def bucket_repulsion_forces(
                 f_all, loss_b, count_b, zero_b = lax.map(process_blocks, stacked)
                 force_sorted = force_sorted + f_all.reshape(-1, d)[:local_q]
                 loss += jnp.sum(loss_b)
-                count += jnp.sum(count_b)
+                # dtype pinned: under jax_enable_x64 an unqualified int32
+                # sum widens to int64 and breaks the while-loop carry
+                count += jnp.sum(count_b, dtype=jnp.int32)
                 zero_sorted += zero_b.reshape(-1)[:local_q]
 
         # unsort query-side accumulators back to vertex order

@@ -333,20 +333,35 @@ class WEmbedEmbedder:
                         and int(self._state.iteration) < cap
                     ):
                         self.calculate_step()
+                        # widen truncated windows immediately (same
+                        # protocol as the device-loop path below)
+                        if int(self._state.overflow) > 0 and self._grow_spans():
+                            if self.verbose:
+                                print(
+                                    "(growing candidate spans to "
+                                    f"x{self._span_scale:g} after overflow "
+                                    f"{int(self._state.overflow)})"
+                                )
+                            self._state = self._state._replace(
+                                overflow=jnp.asarray(0, jnp.int32)
+                            )
                     if int(self._state.iteration) >= cap:
                         break
                     if int(self._state.overflow) == 0 or not self._grow_spans():
                         break
-                    if self.verbose:
-                        print(
-                            f"(growing candidate spans to x{self._span_scale:g} "
-                            f"after overflow {int(self._state.overflow)})"
-                        )
                     self._state = self._state._replace(
-                        pos_change=jnp.asarray(jnp.inf, jnp.float32)
+                        pos_change=jnp.asarray(jnp.inf, jnp.float32),
+                        overflow=jnp.asarray(0, jnp.int32),
                     )
             return
         with self.timer.phase("embedding_all", "Embedding"):
+            # exit the device loop the moment a step truncates candidate
+            # windows, widen them from measured needs, and resume — the
+            # reference's exact index never truncates, and the early
+            # (most spread-out) iterations are where windows starve.
+            # Once growth caps out, run to convergence accepting the
+            # residual truncation (stop_on_overflow=False).
+            stop_on_overflow = self._index is not None
             while True:
                 self._state = step_mod.run_embedding(
                     self._step_fn,
@@ -355,23 +370,27 @@ class WEmbedEmbedder:
                     self._inv_w,
                     cap,
                     self.opts.position_min_change,
+                    stop_on_overflow,
                 )
                 self._state.positions.block_until_ready()
-                # candidate spans truncated at convergence => grow spans and
-                # keep refining from the current state (the reference's
-                # exact index never truncates)
                 if int(self._state.iteration) >= cap:
                     break
-                if int(self._state.overflow) == 0 or not self._grow_spans():
-                    break
-                if self.verbose:
-                    print(
-                        f"(growing candidate spans to x{self._span_scale:g} "
-                        f"after overflow {int(self._state.overflow)})"
-                    )
+                if int(self._state.overflow) == 0:
+                    break  # genuinely converged, no truncation
+                if self._grow_spans():
+                    if self.verbose:
+                        print(
+                            f"(growing candidate spans to x{self._span_scale:g} "
+                            f"after overflow {int(self._state.overflow)})"
+                        )
+                else:
+                    if not stop_on_overflow:
+                        break  # already converged under residual truncation
+                    stop_on_overflow = False
                 # force at least one more step under the new spans
                 self._state = self._state._replace(
-                    pos_change=jnp.asarray(jnp.inf, jnp.float32)
+                    pos_change=jnp.asarray(jnp.inf, jnp.float32),
+                    overflow=jnp.asarray(0, jnp.int32),
                 )
         if self.opts.debug_checks:
             self._debug_validate()

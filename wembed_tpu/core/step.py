@@ -446,6 +446,7 @@ def run_embedding(
     inv_w: jax.Array,
     max_iterations,
     position_min_change,
+    stop_on_overflow=False,
 ) -> EmbedState:
     """Device-side calculateEmbedding: while-loop until convergence.
 
@@ -453,15 +454,26 @@ def run_embedding(
     (NewWEmbedEmbedder.cpp:94-96): iteration < maxIterations AND the last
     step moved vertices by at least positionMinChange on average.
 
-    ``max_iterations`` / ``position_min_change`` are TRACED scalars, so
-    changing the iteration budget (benchmark segments, span-growth
-    continuation, checkpoint-resume with a new cap) reuses the compiled
-    loop — only ``step_fn`` identity keys the jit cache.
+    With ``stop_on_overflow`` the loop ALSO exits as soon as a step reports
+    truncated candidate windows, so the host can widen them (adaptive
+    ``_grow_spans``) immediately instead of refining under truncated
+    repulsion until convergence — the reference's exact index never
+    truncates, and early iterations (the most spread-out positions) are
+    where windows starve.
+
+    ``max_iterations`` / ``position_min_change`` / ``stop_on_overflow``
+    are TRACED scalars, so changing the iteration budget (benchmark
+    segments, span-growth continuation, checkpoint-resume with a new cap)
+    reuses the compiled loop — only ``step_fn`` identity keys the jit
+    cache.
     """
+    stop_on_overflow = jnp.asarray(stop_on_overflow, bool)
 
     def cond(state: EmbedState):
-        return (state.iteration < max_iterations) & (
-            state.pos_change >= position_min_change
+        return (
+            (state.iteration < max_iterations)
+            & (state.pos_change >= position_min_change)
+            & (~stop_on_overflow | (state.overflow == 0))
         )
 
     def body(state: EmbedState):

@@ -400,7 +400,14 @@ def build_span_structures(
 ) -> SpanStructures:
     """Project positions onto the global principal axis and sort every
     group's members (== queries) by projection; derive the dynamic window
-    start tiles from per-block conservative searchsorted bounds."""
+    start tiles from per-block conservative projection bounds.
+
+    Compile-friendly by construction: ONE matrix scatter per side (not one
+    per channel), per-block projection extrema read by STATIC gather
+    indices (blocks are contiguous rank ranges), and all 2·NB·B window
+    bounds located by a single vectorized branchless binary search
+    (a 14-searchsorted-HLO version of this function took >10min to
+    compile on the TPU compile service)."""
     from ..core.candidates import _principal_axis
 
     n, d = positions.shape
@@ -426,69 +433,120 @@ def build_span_structures(
     proj_s = proj[order]
 
     j = jnp.arange(n, dtype=jnp.int32)
-    pad_idx = j + jnp.asarray(idx.sorted_shift_pad)
     q_idx = j + jnp.asarray(idx.sorted_shift_q)
+
+    # ---- padded layouts via GATHER, never scatter: XLA-TPU scatter (and
+    # especially column-sliced scatter) serializes to ~ms-per-100K-rows,
+    # while row gathers stream at HBM speed.  Both padded sides read
+    # through a STATIC (padded slot -> sorted position) map whose padding
+    # slots point at a sentinel row appended to the value matrix.
+    src_of_pad = np.full(npa, n, np.int64)
+    src_of_q = np.full(nq, n, np.int64)
+    for g in range(b):
+        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
+        po, qo = int(idx.group_pad_off[g]), int(idx.group_qoff[g])
+        src_of_pad[po : po + sz] = np.arange(o, o + sz)
+        src_of_q[qo : qo + sz] = np.arange(o, o + sz)
 
     # ---- span-side padded rows (C, NPA):
     # [pos(d), invw, bmax^2 (static), ones, rawexp] — bmax SQUARED so the
     # kernel's radius test is one multiply; the ones row turns the MXU
-    # reduction dot into the rowsum; rawexp = 1/invw so L/ws is a product
-    rows = []
-    for k in range(d):
-        rows.append(
-            jnp.full((npa,), _S_SENTINEL, f32).at[pad_idx].set(pos_s[:, k])
-        )
-    rows.append(jnp.ones((npa,), f32).at[pad_idx].set(invw_s))
-    rows.append(jnp.square(jnp.asarray(idx.bmaxpow_padded)))
-    rows.append(jnp.zeros((npa,), f32).at[pad_idx].set(1.0))
-    rows.append(
-        jnp.zeros((npa,), f32).at[pad_idx].set(1.0 / invw_s)
+    # reduction dot into the rowsum; rawexp = 1/invw so L/ws is a product.
+    # bm2 is static per SORTED slot (group-major order), so it rides the
+    # same gather as the dynamic channels.
+    sorted_bm2 = np.repeat(idx.bmaxpow**2, idx.group_sizes).astype(np.float32)
+    sent_s = np.zeros((1, c), np.float32)
+    sent_s[0, :d] = _S_SENTINEL
+    sent_s[0, d] = 1.0
+    svals = jnp.concatenate(
+        [
+            pos_s,
+            invw_s[:, None],
+            jnp.asarray(sorted_bm2)[:, None],
+            jnp.ones((n, 1), f32),
+            (1.0 / invw_s)[:, None],
+            jnp.zeros((n, c - (d + 4)), f32),
+        ],
+        axis=1,
     )
-    while len(rows) < c:
-        rows.append(jnp.zeros((npa,), f32))
-    sdata = jnp.stack(rows)  # (C, NPA)
-    scol = jnp.full((1, npa), -3, jnp.int32).at[0, pad_idx].set(col_s)
+    svals_ext = jnp.concatenate([svals, jnp.asarray(sent_s)], axis=0)
+    sdata = svals_ext[jnp.asarray(src_of_pad)].T  # (C, NPA)
+    col_ext = jnp.concatenate([col_s, jnp.asarray([-3], jnp.int32)])
+    scol = col_ext[jnp.asarray(src_of_pad)][None, :]  # (1, NPA)
 
     # ---- query-side blocks (NB, _Q, C): [pos(d), invw, (L*w^(1/d))^2, rawexp]
-    qrows = []
-    for k in range(d):
-        qrows.append(
-            jnp.full((nq,), _Q_SENTINEL, f32).at[q_idx].set(pos_s[:, k])
-        )
-    qrows.append(jnp.ones((nq,), f32).at[q_idx].set(invw_s))
-    qrows.append(jnp.zeros((nq,), f32).at[q_idx].set(jnp.square(lwpow_s)))
-    qrows.append(jnp.zeros((nq,), f32).at[q_idx].set(1.0 / invw_s))
-    while len(qrows) < c:
-        qrows.append(jnp.zeros((nq,), f32))
-    qdata = jnp.stack(qrows, axis=-1).reshape(nb, _Q, c)
-    qcol = (
-        jnp.full((nq,), -2, jnp.int32).at[q_idx].set(col_s).reshape(nb, _Q, 1)
+    sent_q = np.zeros((1, c), np.float32)
+    sent_q[0, :d] = _Q_SENTINEL
+    sent_q[0, d] = 1.0
+    qvals = jnp.concatenate(
+        [
+            pos_s,
+            invw_s[:, None],
+            jnp.square(lwpow_s)[:, None],
+            (1.0 / invw_s)[:, None],
+            jnp.zeros((n, c - (d + 3)), f32),
+        ],
+        axis=1,
     )
-    q_ids = jnp.full((nq,), n, jnp.int32).at[q_idx].set(order.astype(jnp.int32))
-    qreal = jnp.zeros((nq,), bool).at[q_idx].set(True)
+    qvals_ext = jnp.concatenate([qvals, jnp.asarray(sent_q)], axis=0)
+    src_q = jnp.asarray(src_of_q)
+    qdata = qvals_ext[src_q].reshape(nb, _Q, c)
+    qcol = (
+        jnp.concatenate([col_s, jnp.asarray([-2], jnp.int32)])[src_q]
+        .reshape(nb, _Q, 1)
+    )
+    q_ids = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
+    )[src_q]
 
-    # ---- per-block conservative projection windows -> dynamic start tiles
-    proj_q = jnp.zeros((nq,), f32).at[q_idx].set(proj_s).reshape(nb, _Q)
-    lw_q = jnp.zeros((nq,), f32).at[q_idx].set(lwpow_s).reshape(nb, _Q)
-    real_b = qreal.reshape(nb, _Q)
-    minproj = jnp.min(jnp.where(real_b, proj_q, jnp.inf), axis=1)
-    maxproj = jnp.max(jnp.where(real_b, proj_q, -jnp.inf), axis=1)
-    maxlw = jnp.max(jnp.where(real_b, lw_q, 0.0), axis=1)
+    # ---- per-block conservative projection windows -> dynamic start tiles.
+    # A block is a CONTIGUOUS rank range of its group, so its projection
+    # extrema are just proj_s at static first/last-rank indices.
+    firsts, lasts = [], []
+    for g in range(b):
+        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
+        nblk = _cdiv(sz, _Q)
+        for li in range(nblk):
+            firsts.append(o + li * _Q)
+            lasts.append(o + min((li + 1) * _Q, sz) - 1)
+    minproj = proj_s[np.asarray(firsts, np.int32)]  # (NB,)
+    maxproj = proj_s[np.asarray(lasts, np.int32)]
+    lw_q = jnp.concatenate([lwpow_s, jnp.zeros((1,), f32)])[src_q]
+    maxlw = jnp.max(lw_q.reshape(nb, _Q), axis=1)
 
     bmax = jnp.asarray(idx.bmaxpow)  # (B,)
     lo = minproj[:, None] - maxlw[:, None] * bmax[None, :]  # (NB, B)
     hi = maxproj[:, None] + maxlw[:, None] * bmax[None, :]
 
-    starts, stops = [], []
-    for g in range(b):
-        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
-        sp = proj_s[o : o + sz]
-        starts.append(jnp.searchsorted(sp, lo[:, g]).astype(jnp.int32))
-        stops.append(
-            jnp.searchsorted(sp, hi[:, g], side="right").astype(jnp.int32)
+    # one branchless binary search for all 2*NB*B bounds at once, each
+    # search confined to its target group's sorted rank range
+    moff = jnp.asarray(idx.group_moff.astype(np.int32))[None, :]  # (1, B)
+    mend = jnp.asarray(
+        (idx.group_moff + idx.group_sizes).astype(np.int32)
+    )[None, :]
+    max_sz = int(np.max(idx.group_sizes))
+
+    def bsearch(value, right: bool):
+        lo_i = jnp.broadcast_to(moff, value.shape)
+        hi_i = jnp.broadcast_to(mend, value.shape)
+
+        def body(_, carry):
+            lo_i, hi_i = carry
+            active = lo_i < hi_i
+            mid = (lo_i + hi_i) // 2
+            v = proj_s[jnp.minimum(mid, n - 1)]
+            pred = (v <= value) if right else (v < value)
+            lo_i = jnp.where(active & pred, mid + 1, lo_i)
+            hi_i = jnp.where(active & ~pred, mid, hi_i)
+            return lo_i, hi_i
+
+        lo_i, _ = lax.fori_loop(
+            0, max_sz.bit_length() + 1, body, (lo_i, hi_i)
         )
-    start = jnp.stack(starts, axis=1)  # (NB, B)
-    stop = jnp.stack(stops, axis=1)
+        return lo_i - moff
+
+    start = bsearch(lo, right=False).astype(jnp.int32)  # (NB, B) local ranks
+    stop = bsearch(hi, right=True).astype(jnp.int32)
 
     t_blk = jnp.asarray(idx.blk_t)  # (NB, B)
     tiles = jnp.asarray(idx.group_tiles.astype(np.int32))[None, :]
