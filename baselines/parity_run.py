@@ -70,6 +70,17 @@ def main() -> None:
         verbose=False,
     )
 
+    # pre-size the candidate spans so the lockstep starts untruncated
+    # (the reference's exact radius index never truncates): probe a step,
+    # read the overflow counter, double the spans, restore the state
+    state0 = emb.state
+    for _ in range(12):
+        emb.calculate_step()
+        overflow = int(emb.state.overflow)
+        emb.state = state0
+        if overflow == 0 or not emb._grow_spans():
+            break
+
     # Per-coordinate lockstep vs an independently compiled binary is
     # meaningless under Adam: the first update is sign(force)*lr per
     # coordinate, so a force coordinate near 0 flips the full +-lr on

@@ -91,6 +91,36 @@ class WEmbedEmbedder:
             dtype=self._dtype,
         )
         self._set_weights_internal(np.asarray(initial_weights, dtype=np.float64))
+        self._presize_spans()
+
+    def _presize_spans(self) -> None:
+        """Widen span windows to the INITIAL positions' measured needs
+        before the first step, so even ``calculate_step``-driven runs start
+        untruncated (the reference's exact index never truncates; windows
+        starve most at the spread-out initial configuration)."""
+        if not isinstance(self._index, span_mod.SpanIndex):
+            return
+        grew = False
+        for _ in range(3):
+            structures = span_mod.build_span_structures(
+                self._state.positions.astype(jnp.float32),
+                jnp.asarray(self._inv_w, jnp.float32),
+                jnp.asarray(self._weights, jnp.float32),
+                self._dg.colors,
+                self._index,
+                self.opts,
+            )
+            if int(structures.overflow) == 0:
+                break
+            grown = self._index.grow_from_needs(np.asarray(structures.need))
+            if grown is None:
+                break
+            self._index = grown
+            grew = True
+        if grew:
+            self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)
+            self._jitted_step = jax.jit(self._step_fn)
+            self._phase_fns = None
 
     # -------------------------------------------------------------- internals
     def _set_weights_internal(self, w: np.ndarray) -> None:
@@ -425,9 +455,11 @@ class WEmbedEmbedder:
         self._state = self._state._replace(
             positions=jnp.asarray(coordinates, dtype=self._dtype)
         )
+        self._presize_spans()
 
     def set_weights(self, w: np.ndarray) -> None:
         self._set_weights_internal(np.asarray(w, dtype=np.float64))
+        self._presize_spans()
 
     def get_timings(self) -> list[TimingResult]:
         return self.timer.results()
