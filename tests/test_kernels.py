@@ -266,3 +266,33 @@ def test_span_adaptive_growth_covers_in_one_rebuild():
         np.asarray(f) / scale, np.asarray(fd) / scale, atol=5e-5
     )
     assert bool(jnp.all(zc == zcd))
+
+
+def test_span_fused_forces_matches_separate_passes():
+    """span_fused_forces (kernel + ONE merged attraction/correction edge
+    pass) must equal attraction_forces + span_repulsion_forces."""
+    import jax
+    import jax.numpy as jnp
+
+    from wembed_tpu.core import forces
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, opts, w, inv_w, pos, idx, dg = _span_setup(900, 2, False, 8.0)
+    key = jax.random.PRNGKey(3)
+    f_r, loss_r, cnt_r, ovf_r, zc_r = span_mod.span_repulsion_forces(
+        pos, inv_w, w, dg.colors, idx, opts, interpret=True
+    )
+    f_a, loss_a = forces.attraction_forces(pos, inv_w, dg, opts, key)
+    f_m, att_m, rep_m, cnt_m, ovf_m, zc_m = span_mod.span_fused_forces(
+        pos, inv_w, w, dg.colors, idx, opts, key, interpret=True
+    )
+    ref = np.asarray(f_r + f_a)
+    scale = np.abs(ref).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_m) / scale, ref / scale, atol=5e-6
+    )
+    np.testing.assert_allclose(float(att_m), float(loss_a), rtol=1e-6)
+    np.testing.assert_allclose(float(rep_m), float(loss_r), rtol=1e-5)
+    assert int(cnt_m) == int(cnt_r)
+    assert int(ovf_m) == int(ovf_r)
+    assert bool(jnp.all(zc_m == zc_r))

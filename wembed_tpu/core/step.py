@@ -348,44 +348,50 @@ def build_step(
 
         old_positions = state.positions
 
-        force, att_loss = forces.attraction_forces(
-            state.positions, inv_w, dg, opts, att_key, shard=shard
-        )
-
-        overflow = jnp.asarray(0, jnp.int32)
-        if use_sampling:
-            if opts.num_negative_samples == 0:
-                rep_force = jnp.zeros_like(force)
-                rep_loss = jnp.asarray(0.0, jnp.float32)
-                rep_count = jnp.asarray(0, jnp.int32)
-                zero_count = jnp.zeros((dg.n,), jnp.int32)
-            else:
-                rep_force, rep_loss, rep_count, zero_count = (
-                    forces.sampled_repulsion_forces(
-                        state.positions, inv_w, dg, opts, rep_key, shard=shard
-                    )
-                )
-        elif mode is RepulsionMode.DENSE:
-            rep_force, rep_loss, rep_count, zero_count = (
-                forces.dense_repulsion_forces(
-                    state.positions, inv_w, dense_adj, dg.colors, opts, shard=shard
-                )
-            )
-        elif fused_span is not None:
-            rep_force, rep_loss, rep_count, overflow, zero_count = (
-                span_mod.span_repulsion_forces(
+        if fused_span is not None:
+            # combined path: pallas kernel + ONE merged edge pass doing
+            # attraction and the neighbor correction together (separate
+            # passes measured ~40ms/step slower than their parts)
+            force, att_loss, rep_loss, rep_count, overflow, zero_count = (
+                span_mod.span_fused_forces(
                     state.positions, inv_w, weights, dg.colors, index, opts,
-                    interpret=(fused_span == "interpret"),
+                    att_key, interpret=(fused_span == "interpret"),
                 )
             )
         else:
-            rep_force, rep_loss, rep_count, overflow, zero_count = (
-                cand_mod.bucket_repulsion_forces(
-                    state.positions, inv_w, weights, dg, index, opts, rep_key,
-                    shard=shard,
-                )
+            force, att_loss = forces.attraction_forces(
+                state.positions, inv_w, dg, opts, att_key, shard=shard
             )
-        force = force + rep_force
+
+            overflow = jnp.asarray(0, jnp.int32)
+            if use_sampling:
+                if opts.num_negative_samples == 0:
+                    rep_force = jnp.zeros_like(force)
+                    rep_loss = jnp.asarray(0.0, jnp.float32)
+                    rep_count = jnp.asarray(0, jnp.int32)
+                    zero_count = jnp.zeros((dg.n,), jnp.int32)
+                else:
+                    rep_force, rep_loss, rep_count, zero_count = (
+                        forces.sampled_repulsion_forces(
+                            state.positions, inv_w, dg, opts, rep_key,
+                            shard=shard,
+                        )
+                    )
+            elif mode is RepulsionMode.DENSE:
+                rep_force, rep_loss, rep_count, zero_count = (
+                    forces.dense_repulsion_forces(
+                        state.positions, inv_w, dense_adj, dg.colors, opts,
+                        shard=shard,
+                    )
+                )
+            else:
+                rep_force, rep_loss, rep_count, overflow, zero_count = (
+                    cand_mod.bucket_repulsion_forces(
+                        state.positions, inv_w, weights, dg, index, opts,
+                        rep_key, shard=shard,
+                    )
+                )
+            force = force + rep_force
 
         if shard is not None:
             axis_name = shard[0]

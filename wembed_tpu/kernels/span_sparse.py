@@ -162,14 +162,21 @@ class SpanIndex:
         the whole target group — growth could not add candidates."""
         return bool(np.any(self.t_table < self.group_tiles[None, :]))
 
-    def grow_from_needs(self, needs: np.ndarray) -> "SpanIndex | None":
+    def grow_from_needs(
+        self, needs: np.ndarray, headroom: float = 1.3
+    ) -> "SpanIndex | None":
         """Adaptive growth: widen each (query group, target group) window to
         the MEASURED per-block searchsorted need (``SpanStructures.need``,
-        (NB, B) member counts) plus one headroom tile, instead of blindly
-        doubling a global scale.  The reference never truncates (its radius
-        index is exact, WeightedIndex.cpp:65-100); this converges to the
-        same no-truncation guarantee in O(1) rebuilds rather than O(log)
-        doublings, and only widens the pairs that actually overflowed.
+        (NB, B) member counts), instead of blindly doubling a global scale.
+        The reference never truncates (its radius index is exact,
+        WeightedIndex.cpp:65-100); this converges to the same no-truncation
+        guarantee while only widening the pairs that actually overflowed.
+
+        Needs are a MOVING target (clusters densify along the projection as
+        the embedding evolves), and every regrow recompiles the kernel, so
+        each growth takes ``headroom`` slack on the measured need AND at
+        least doubles the starved pair's window — total growth events per
+        pair are O(log tiles), not O(steps).
 
         Returns the regrown index, or None if already fully covering."""
         needs = np.asarray(needs)
@@ -179,10 +186,16 @@ class SpanIndex:
             rows = needs[self.blk_group == qg]
             if rows.size:
                 need_pair[qg] = rows.max(axis=0)
-        t_new = np.minimum(
-            np.maximum(self.t_table, -(-need_pair // _ST) + 1),
-            self.group_tiles[None, :],
+        # a window of t tiles only guarantees coverage of (t-1)*ST+1
+        # members in the worst tile alignment, so the starvation test and
+        # the sizing both carry the +1 quantization tile
+        min_tiles = -(-need_pair // _ST) + 1
+        starved = min_tiles > self.t_table
+        need_tiles = -(-(need_pair * headroom).astype(np.int64) // _ST) + 1
+        t_new = np.where(
+            starved, np.maximum(need_tiles, 2 * self.t_table), self.t_table
         )
+        t_new = np.minimum(t_new, self.group_tiles[None, :])
         if np.array_equal(t_new, self.t_table):
             return None
         return self._with_t_table(t_new)
@@ -762,6 +775,159 @@ def span_query(
 # ------------------------------------------------------------ full wrapper
 
 
+def _kernel_accumulate(structures, idx, opts, interpret):
+    """Run the pallas sweep and unsort its per-query accumulators:
+    (force (n,d) f32, repel_loss, candidate count, zero_count (n,))."""
+    d = idx.d
+    n = idx.n
+    f32 = jnp.float32
+    out = span_query(structures, idx, opts, interpret=interpret)
+    c = idx.num_channels
+    flat = out.reshape(idx.nq, c)
+    qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
+    force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
+    q_ids = structures.q_ids
+    force = jnp.zeros((n, d), f32).at[q_ids].add(force_q, mode="drop")
+    loss = jnp.sum(flat[:, d + 1], dtype=f32)
+    count = jnp.sum(flat[:, d + 2], dtype=f32).astype(jnp.int32)
+    zero_count = (
+        jnp.zeros((n,), jnp.int32)
+        .at[q_ids]
+        .add(flat[:, d + 3].astype(jnp.int32), mode="drop")
+    )
+    return force, loss, count, zero_count
+
+
+def span_fused_forces(
+    positions: jax.Array,
+    inv_w: jax.Array,
+    weights: jax.Array,
+    colors: jax.Array,
+    idx: SpanIndex,
+    opts,
+    att_key,
+    interpret: bool = False,
+    structures: SpanStructures | None = None,
+):
+    """Kernel repulsion + ONE merged edge pass doing attraction AND the
+    neighbor-repulsion correction.
+
+    Attraction (forces.attraction_forces) and the O(E) correction walk the
+    same directed edge array with the same gathers (positions, inverse
+    weights) and the same segment sums — running them as separate passes
+    measured ~40ms/step slower on the TPU than their individual costs.
+    Both force contributions act along (pos_dst - pos_src) with a scalar
+    per-edge coefficient, so they share one (E,d) segment_sum:
+    attraction pulls src toward dst past the hinge
+    (NewWEmbedEmbedder.cpp:188-219), and removing a neighbor pair's kernel
+    repulsion is the same-direction pull.
+
+    Returns (force (n,d), att_loss, rep_loss, rep_count, overflow,
+    zero_count) — everything the step needs from both force passes.
+    """
+    n, d = positions.shape
+    dtype = positions.dtype
+    f32 = jnp.float32
+    L = float(opts.edge_length)
+
+    if structures is None:
+        structures = build_span_structures(
+            positions, inv_w, weights, colors, idx, opts
+        )
+    force_k, rep_loss, rep_count, zero_count = _kernel_accumulate(
+        structures, idx, opts, interpret
+    )
+
+    esrc = jnp.asarray(idx.edge_src)
+    edst = jnp.asarray(idx.edge_dst)
+    emask = jnp.asarray(idx.edge_mask)
+    eg = jnp.asarray(idx.edge_dst_group)
+    b = idx.num_groups
+
+    pos32 = positions.astype(f32)
+    psrc = pos32[esrc]
+    pdst = pos32[edst]
+    diff = pdst - psrc
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    iw = inv_w.astype(f32)
+    ws = (iw[esrc] + iw[edst]) if opts.additive_weights else (iw[esrc] * iw[edst])
+    posd = dist2 > 0
+    dist = jnp.sqrt(dist2)
+    inv_dist = f32(1.0) / jnp.maximum(dist, f32(1e-30))
+
+    # attraction hinge (strictly beyond edge length pulls)
+    act_a = (dist * ws > f32(L)) & emask
+    ca = jnp.where(act_a, f32(opts.attraction_scale) * ws * inv_dist, 0.0)
+    att_loss = jnp.sum(
+        jnp.where(act_a, dist - f32(L) / ws, 0.0), dtype=f32
+    )
+
+    # correction: mirrors the kernel's inclusion exactly (same radius
+    # product, same covered tile windows, same color filter)
+    r_e = structures.lwpow[esrc] * jnp.asarray(idx.edge_bmaxpow)
+    cov_start = (
+        structures.start_tile.reshape(-1)[structures.block_of[esrc] * b + eg]
+        * _ST
+    )
+    rank = structures.rank_of[edst]
+    included = (
+        emask
+        & (dist2 <= r_e * r_e)
+        & (rank >= cov_start)
+        & (rank < cov_start + jnp.asarray(idx.edge_cov_len))
+        & (colors[esrc] != colors[edst])
+    )
+    act_r = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
+    cr = jnp.where(act_r, f32(opts.repulsion_scale) * ws * inv_dist, 0.0)
+    rep_loss = rep_loss - jnp.sum(
+        jnp.where(act_r, f32(L) / ws - dist, 0.0), dtype=f32
+    )
+    rep_count = rep_count - jnp.sum(included, dtype=jnp.int32)
+
+    net_e = (ca + cr)[:, None] * diff
+    # coincident edge endpoints: random unit kick on the attraction side
+    # (NewWEmbedEmbedder.cpp:197-200); the correction is zero there (the
+    # kernel's active set requires positive distance)
+    zero_e = (~posd) & emask
+
+    def with_kicks(f):
+        from ..core import forces as forces_mod
+
+        kicks = forces_mod.random_unit_vectors(
+            att_key, (esrc.shape[0],), d, f32
+        )
+        return jnp.where(zero_e[:, None], kicks, f)
+
+    net_e = lax.cond(jnp.any(zero_e), with_kicks, lambda f: f, net_e)
+    force_e = jax.ops.segment_sum(
+        net_e, esrc, num_segments=n, indices_are_sorted=True
+    )
+    # coincident neighbor pairs are measure-zero configurations: pay the
+    # int32 segment_sum (a full scatter pass over E) only when one exists
+    corr_zero_mask = included & ~posd
+
+    def subtract_zero_corr(zc):
+        return zc - jax.ops.segment_sum(
+            corr_zero_mask.astype(jnp.int32),
+            esrc,
+            num_segments=n,
+            indices_are_sorted=True,
+        )
+
+    zero_count = lax.cond(
+        jnp.any(corr_zero_mask), subtract_zero_corr, lambda zc: zc, zero_count
+    )
+    force = (force_k + force_e).astype(dtype)
+    return (
+        force,
+        att_loss,
+        rep_loss,
+        rep_count,
+        structures.overflow,
+        zero_count,
+    )
+
+
 def span_repulsion_forces(
     positions: jax.Array,
     inv_w: jax.Array,
@@ -792,22 +958,8 @@ def span_repulsion_forces(
         structures = build_span_structures(
             positions, inv_w, weights, colors, idx, opts
         )
-    out = span_query(structures, idx, opts, interpret=interpret)
-
-    c = idx.num_channels
-    flat = out.reshape(idx.nq, c)
-    qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
-    force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
-    q_ids = structures.q_ids
-    force = (
-        jnp.zeros((n, d), f32).at[q_ids].add(force_q, mode="drop")
-    )
-    loss = jnp.sum(flat[:, d + 1], dtype=f32)
-    count = jnp.sum(flat[:, d + 2], dtype=f32).astype(jnp.int32)
-    zero_count = (
-        jnp.zeros((n,), jnp.int32)
-        .at[q_ids]
-        .add(flat[:, d + 3].astype(jnp.int32), mode="drop")
+    force, loss, count, zero_count = _kernel_accumulate(
+        structures, idx, opts, interpret
     )
 
     # ---- O(E) neighbor correction (reference filters candidates by
