@@ -101,6 +101,7 @@ class WEmbedEmbedder:
         if not isinstance(self._index, span_mod.SpanIndex):
             return
         grew = False
+        structures = None
         for _ in range(3):
             structures = span_mod.build_span_structures(
                 self._state.positions.astype(jnp.float32),
@@ -117,9 +118,21 @@ class WEmbedEmbedder:
                 break
             self._index = grown
             grew = True
+        if structures is not None:
+            # drop the 1-tile floor for pairs with no members in range —
+            # a large share of the static work list on clustered graphs
+            shrunk = self._index.shrink_empty(np.asarray(structures.need))
+            if shrunk is not None:
+                self._index = shrunk
+                grew = True
         if grew:
-            self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)
-            self._jitted_step = jax.jit(self._step_fn)
+            old_pad = None if self._tables is None else self._tables.wt_qblk.shape[0]
+            self._tables = self._index.device_tables()
+            if old_pad != self._index.w_pad:
+                self._step_fn = step_mod.build_step(
+                    self._dg, self.opts, self._index
+                )
+                self._jitted_step = jax.jit(self._step_fn)
             self._phase_fns = None
 
     # -------------------------------------------------------------- internals
@@ -159,6 +172,11 @@ class WEmbedEmbedder:
                     self.graph.col_idx,
                     span_scale=self._span_scale,
                 )
+        self._tables = (
+            self._index.device_tables()
+            if isinstance(self._index, span_mod.SpanIndex)
+            else None
+        )
         self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)
         self._jitted_step = jax.jit(self._step_fn)
         self._phase_fns = None  # rebuilt lazily on the next profiled step
@@ -192,9 +210,14 @@ class WEmbedEmbedder:
             if grown is None:
                 return False
             self._span_scale *= 2.0  # bookkeeping only: caps total growth
+            same_bucket = grown.w_pad == self._index.w_pad
             self._index = grown
-            self._step_fn = step_mod.build_step(self._dg, self.opts, grown)
-            self._jitted_step = jax.jit(self._step_fn)
+            self._tables = grown.device_tables()
+            if not same_bucket:
+                # work list outgrew its padding bucket: this is the only
+                # growth case that recompiles (shapes changed)
+                self._step_fn = step_mod.build_step(self._dg, self.opts, grown)
+                self._jitted_step = jax.jit(self._step_fn)
             self._phase_fns = None
             return True
         if all(
@@ -222,7 +245,7 @@ class WEmbedEmbedder:
         else:
             with self.timer.phase("step", "Embedding step"):
                 self._state = self._jitted_step(
-                    self._state, self._weights, self._inv_w
+                    self._state, self._weights, self._inv_w, self._tables
                 )
                 self._state.positions.block_until_ready()
         it = int(self._state.iteration)
@@ -401,6 +424,7 @@ class WEmbedEmbedder:
                     cap,
                     self.opts.position_min_change,
                     stop_on_overflow,
+                    self._tables,
                 )
                 self._state.positions.block_until_ready()
                 if int(self._state.iteration) >= cap:

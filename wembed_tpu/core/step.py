@@ -280,7 +280,7 @@ def build_step(
     apply_optimizer = partial(_apply_optimizer, opts, hp)
 
     def fused_step(
-        state: EmbedState, weights: jax.Array, inv_w: jax.Array
+        state: EmbedState, weights: jax.Array, inv_w: jax.Array, tables=None
     ) -> EmbedState:
         """Whole force pass (attraction + repulsion + losses + kick counts)
         in one Pallas kernel; optimizer/gravity identical to the jnp path."""
@@ -341,9 +341,17 @@ def build_step(
     if fused is not None:
         return fused_step
 
-    def step(state: EmbedState, weights: jax.Array, inv_w: jax.Array) -> EmbedState:
+    def step(
+        state: EmbedState,
+        weights: jax.Array,
+        inv_w: jax.Array,
+        tables=None,
+    ) -> EmbedState:
         # graphSize() <= 1 short-circuits (NewWEmbedEmbedder.cpp:25-28):
         # handled host-side in the embedder, where n is static.
+        # ``tables`` (span path only) carries the growth-dependent window
+        # tables as TRACED arrays: adaptive growth within the same bucket
+        # swaps them with zero recompilation.
         key, att_key, rep_key, kick_key = jax.random.split(state.key, 4)
 
         old_positions = state.positions
@@ -356,6 +364,7 @@ def build_step(
                 span_mod.span_fused_forces(
                     state.positions, inv_w, weights, dg.colors, index, opts,
                     att_key, interpret=(fused_span == "interpret"),
+                    tables=tables,
                 )
             )
         else:
@@ -453,6 +462,7 @@ def run_embedding(
     max_iterations,
     position_min_change,
     stop_on_overflow=False,
+    tables=None,
 ) -> EmbedState:
     """Device-side calculateEmbedding: while-loop until convergence.
 
@@ -483,6 +493,8 @@ def run_embedding(
         )
 
     def body(state: EmbedState):
+        if tables is not None:
+            return step_fn(state, weights, inv_w, tables)
         return step_fn(state, weights, inv_w)
 
     return lax.while_loop(cond, body, state)

@@ -41,10 +41,12 @@ Structure:
   5. Graph neighbors must not repel (reference filters candidates with
      areNeighbors, NewWEmbedEmbedder.cpp:328).  Like the jnp path we
      repel every in-window pair and subtract neighbor contributions in
-     an O(E) correction pass; the correction accumulates per-source
-     rowsum/weighted-position sums and applies q*rowsum - acc — the SAME
-     algebraic form the kernel uses — so the cancellation is exact in
-     value and only differs by f32 summation-order rounding.
+     an O(E) correction pass (merged with attraction into one edge pass
+     in ``span_fused_forces`` — both act along pos_dst - pos_src).  The
+     cancellation against the kernel's term is exact in EXACT arithmetic
+     and carries an f32 rounding residual of O(eps * |position| * coeff)
+     per corrected edge — the kernel reduces in q*rowsum - acc form
+     while the correction sums coeff*(dst - src) directly.
 """
 
 from __future__ import annotations
@@ -77,10 +79,16 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _assemble_work_tiles(nb, b, blk_t, group_pad_off):
+def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None):
     """Static (W, qblk, pair, off, first) work-tile tables from per-block
     tile counts — the flattened pallas grid order (block-major so output
-    blocks are revisited on consecutive grid steps)."""
+    blocks are revisited on consecutive grid steps).
+
+    The list is PADDED to a bucketed length (1.25x headroom rounded to
+    512): the pallas grid size is a compile-time shape, but the table
+    VALUES are traced kernel inputs, so window growth that stays within
+    the bucket swaps tables without any recompile.  Padding tiles carry
+    qblk == nb (the dummy output block) and are skipped by the kernel."""
     tile_off = np.asarray(group_pad_off) // _ST
     wt_qblk, wt_pair, wt_off, wt_first = [], [], [], []
     for i in range(nb):
@@ -92,8 +100,18 @@ def _assemble_work_tiles(nb, b, blk_t, group_pad_off):
                 wt_off.append(int(tile_off[g]) + t)
                 wt_first.append(1 if first else 0)
                 first = False
+    w = len(wt_qblk)
+    if pad_to is not None and w <= pad_to:
+        w_pad = pad_to  # fits the existing bucket: keep shapes identical
+    else:
+        w_pad = max(512, _round_up(int(np.ceil(w * 1.25)), 512))
+    pad = w_pad - w
+    wt_qblk += [nb] * pad
+    wt_pair += [0] * pad
+    wt_off += [0] * pad
+    wt_first += ([1] + [0] * (pad - 1)) if pad else []
     return (
-        len(wt_qblk),
+        w,
         np.asarray(wt_qblk, np.int32),
         np.asarray(wt_pair, np.int32),
         np.asarray(wt_off, np.int32),
@@ -154,8 +172,28 @@ class SpanIndex:
         return int(self.group_pad_off[-1] + self.group_tiles[-1] * _ST)
 
     @property
-    def nq(self) -> int:  # padded query array length
-        return int(self.nb * _Q)
+    def w_pad(self) -> int:  # bucketed work-list length == pallas grid size
+        return int(self.wt_qblk.shape[0])
+
+    def device_tables(self) -> "SpanTables":
+        """The growth-dependent tables as device arrays.  These are TRACED
+        kernel/step inputs: growth within the same w_pad bucket swaps these
+        values with ZERO recompilation (grid size, block shapes, and every
+        other skeleton field stay identical)."""
+        return SpanTables(
+            wt_qblk=jnp.asarray(self.wt_qblk),
+            wt_pair=jnp.asarray(self.wt_pair),
+            wt_off=jnp.asarray(self.wt_off),
+            wt_first=jnp.asarray(self.wt_first),
+            blk_t=jnp.asarray(self.blk_t),
+            edge_cov_len=jnp.asarray(self.edge_cov_len),
+        )
+
+    @property
+    def nq(self) -> int:  # padded query array length, incl. the dummy block
+        # one extra all-sentinel block at index nb: padding work tiles in
+        # the bucketed grid write there, and the kernel skips their compute
+        return int((self.nb + 1) * _Q)
 
     def can_grow(self) -> bool:
         """False once every (query group, target group) pair already scans
@@ -200,14 +238,39 @@ class SpanIndex:
             return None
         return self._with_t_table(t_new)
 
+    def shrink_empty(self, needs: np.ndarray) -> "SpanIndex | None":
+        """Drop the 1-tile floor for (query group, target group) pairs with
+        ZERO measured window need — the static work list pays NB*B*_ST
+        slots of floor even where no member is in range.  Safe: a pair
+        whose need later becomes positive has zero coverage, so every one
+        of its candidates counts as overflow and triggers regrowth
+        (``grow_from_needs`` then sizes it from the measured need).
+
+        Meant to be called once at pre-size time; returns None if nothing
+        shrinks."""
+        needs = np.asarray(needs)
+        b = self.num_groups
+        need_pair = np.zeros((b, b), np.int64)
+        for qg in range(b):
+            rows = needs[self.blk_group == qg]
+            if rows.size:
+                need_pair[qg] = rows.max(axis=0)
+        t_new = np.where(need_pair == 0, 0, self.t_table)
+        if np.array_equal(t_new, self.t_table):
+            return None
+        return self._with_t_table(t_new)
+
     def _with_t_table(self, t_table: np.ndarray) -> "SpanIndex":
         """Same group skeleton, new per-pair window widths: reassemble the
-        static work-tile list and the edge-correction coverage lengths."""
+        static work-tile list and the edge-correction coverage lengths.
+        Keeps the current w_pad bucket when the new list fits, so the
+        regrown index reuses every compiled executable."""
         from dataclasses import replace
 
         blk_t = t_table[self.blk_group].astype(np.int32)
         wt = _assemble_work_tiles(
-            self.nb, self.num_groups, blk_t, self.group_pad_off
+            self.nb, self.num_groups, blk_t, self.group_pad_off,
+            pad_to=self.w_pad,
         )
         cov_len = (
             t_table[self.group_of[self.edge_src], self.edge_dst_group] * _ST
@@ -383,6 +446,18 @@ class SpanIndex:
 # ----------------------------------------------------- per-step structures
 
 
+class SpanTables(NamedTuple):
+    """Growth-dependent window tables as TRACED device arrays (see
+    SpanIndex.device_tables)."""
+
+    wt_qblk: jax.Array  # (W_pad,) i32, nb marks a padding tile
+    wt_pair: jax.Array  # (W_pad,) i32
+    wt_off: jax.Array  # (W_pad,) i32
+    wt_first: jax.Array  # (W_pad,) i32
+    blk_t: jax.Array  # (NB, B) i32
+    edge_cov_len: jax.Array  # (E,) i32
+
+
 class SpanStructures(NamedTuple):
     """Per-iteration sorted structures consumed by the kernel — the output
     of the index REBUILD phase (the reference's updateIndex + SnnModel
@@ -410,10 +485,14 @@ def build_span_structures(
     colors: jax.Array,
     idx: SpanIndex,
     opts,
+    tables: "SpanTables | None" = None,
 ) -> SpanStructures:
     """Project positions onto the global principal axis and sort every
     group's members (== queries) by projection; derive the dynamic window
     start tiles from per-block conservative projection bounds.
+
+    ``tables`` supplies the growth-dependent window tables as traced
+    arrays (default: this index's own, baked as constants).
 
     Compile-friendly by construction: ONE matrix scatter per side (not one
     per channel), per-block projection extrema read by STATIC gather
@@ -503,10 +582,10 @@ def build_span_structures(
     )
     qvals_ext = jnp.concatenate([qvals, jnp.asarray(sent_q)], axis=0)
     src_q = jnp.asarray(src_of_q)
-    qdata = qvals_ext[src_q].reshape(nb, _Q, c)
+    qdata = qvals_ext[src_q].reshape(nb + 1, _Q, c)
     qcol = (
         jnp.concatenate([col_s, jnp.asarray([-2], jnp.int32)])[src_q]
-        .reshape(nb, _Q, 1)
+        .reshape(nb + 1, _Q, 1)
     )
     q_ids = jnp.concatenate(
         [order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
@@ -525,7 +604,7 @@ def build_span_structures(
     minproj = proj_s[np.asarray(firsts, np.int32)]  # (NB,)
     maxproj = proj_s[np.asarray(lasts, np.int32)]
     lw_q = jnp.concatenate([lwpow_s, jnp.zeros((1,), f32)])[src_q]
-    maxlw = jnp.max(lw_q.reshape(nb, _Q), axis=1)
+    maxlw = jnp.max(lw_q.reshape(nb + 1, _Q)[:nb], axis=1)
 
     bmax = jnp.asarray(idx.bmaxpow)  # (B,)
     lo = minproj[:, None] - maxlw[:, None] * bmax[None, :]  # (NB, B)
@@ -561,7 +640,9 @@ def build_span_structures(
     start = bsearch(lo, right=False).astype(jnp.int32)  # (NB, B) local ranks
     stop = bsearch(hi, right=True).astype(jnp.int32)
 
-    t_blk = jnp.asarray(idx.blk_t)  # (NB, B)
+    if tables is None:
+        tables = idx.device_tables()
+    t_blk = tables.blk_t  # (NB, B) traced
     tiles = jnp.asarray(idx.group_tiles.astype(np.int32))[None, :]
     # slide the T-tile window to cover [start, stop) when possible: prefer
     # ending at ceil(stop/ST), never starting after floor(start/ST), clamp
@@ -574,9 +655,8 @@ def build_span_structures(
     cov_end = (start_tile + t_blk) * _ST
     overflow = jnp.sum(jnp.maximum(stop - cov_end, 0), dtype=jnp.int32)
 
-    wt_pair = jnp.asarray(idx.wt_pair)
     stile = (
-        start_tile.reshape(-1)[wt_pair] + jnp.asarray(idx.wt_off)
+        start_tile.reshape(-1)[tables.wt_pair] + tables.wt_off
     ).astype(jnp.int32)
 
     rank_of = (
@@ -617,6 +697,7 @@ def _span_kernel(
     *,
     d: int,
     c: int,
+    nb: int,
     L: float,
     rep_scale: float,
     additive: bool,
@@ -628,10 +709,27 @@ def _span_kernel(
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    q = qdata_ref[0]  # (_Q, C)
-    s = sdata_ref[:]  # (C, _ST)
-    qcol = qcol_ref[0]  # (_Q, 1) i32
-    scol = scol_ref[:]  # (1, _ST) i32
+    # bucket-padding tiles (qblk == nb, the dummy block) skip all compute:
+    # they only pay their DMA, so the padded grid is nearly free
+    @pl.when(qblk_ref[w] < nb)
+    def _compute():
+        _span_tile_body(
+            q=qdata_ref[0],
+            s=sdata_ref[:],
+            qcol=qcol_ref[0],
+            scol=scol_ref[:],
+            out_ref=out_ref,
+            d=d,
+            c=c,
+            L=L,
+            rep_scale=rep_scale,
+            additive=additive,
+        )
+
+
+def _span_tile_body(*, q, s, qcol, scol, out_ref, d, c, L, rep_scale, additive):
+    """One (_Q x _ST) work tile: q (_Q, C), s (C, _ST), colors alongside."""
+    f32 = jnp.float32
 
     # dist^2 by per-dimension accumulation — full relative precision (the
     # gram form loses ~|p|^2*eps to cancellation, flipping dead zones)
@@ -704,22 +802,27 @@ def span_query(
     structures: SpanStructures,
     idx: SpanIndex,
     opts,
+    tables: "SpanTables | None" = None,
     interpret: bool = False,
 ):
     """Run the fused candidate sweep.  Returns per-query-slot channel
-    accumulators (NB, _Q, C): [acc_pos(d), rowsum, loss, count, zero]."""
+    accumulators (NB+1, _Q, C): [acc_pos(d), rowsum, loss, count, zero]
+    (the last block is the bucket-padding dummy)."""
+    if tables is None:
+        tables = idx.device_tables()
     c, d = idx.num_channels, idx.d
     kern = functools.partial(
         _span_kernel,
         d=d,
         c=c,
+        nb=idx.nb,
         L=float(opts.edge_length),
         rep_scale=float(opts.repulsion_scale),
         additive=bool(opts.additive_weights),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(idx.w,),
+        grid=(idx.w_pad,),
         in_specs=[
             pl.BlockSpec(
                 (1, _Q, c),
@@ -751,20 +854,20 @@ def span_query(
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((idx.nb, _Q, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((idx.nb + 1, _Q, c), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=idx.w * _Q * _ST * (3 * d + 16),
-            bytes_accessed=idx.w * (_ST * (c + 1) + _Q * (c + 1)) * 4,
-            transcendentals=idx.w * _Q * _ST,
+            flops=idx.w_pad * _Q * _ST * (3 * d + 16),
+            bytes_accessed=idx.w_pad * (_ST * (c + 1) + _Q * (c + 1)) * 4,
+            transcendentals=idx.w_pad * _Q * _ST,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(
-        jnp.asarray(idx.wt_qblk),
+        tables.wt_qblk,
         structures.stile,
-        jnp.asarray(idx.wt_first),
+        tables.wt_first,
         structures.qdata,
         structures.qcol,
         structures.sdata,
@@ -775,15 +878,25 @@ def span_query(
 # ------------------------------------------------------------ full wrapper
 
 
-def _kernel_accumulate(structures, idx, opts, interpret):
+def _kernel_accumulate(structures, idx, opts, tables, interpret):
     """Run the pallas sweep and unsort its per-query accumulators:
     (force (n,d) f32, repel_loss, candidate count, zero_count (n,))."""
     d = idx.d
     n = idx.n
     f32 = jnp.float32
-    out = span_query(structures, idx, opts, interpret=interpret)
+    if tables is None:
+        tables = idx.device_tables()
+    out = span_query(structures, idx, opts, tables=tables, interpret=interpret)
     c = idx.num_channels
     flat = out.reshape(idx.nq, c)
+    # blocks with NO work tiles (every window shrunk to 0, or the dummy
+    # padding block when the bucket has no padding tiles) never write
+    # their out rows — mask the uninitialized memory.  blk_t is traced, so
+    # this survives table swaps without recompiling.
+    has_tiles = jnp.concatenate(
+        [tables.blk_t.sum(axis=1) > 0, jnp.zeros((1,), bool)]
+    )
+    flat = jnp.where(jnp.repeat(has_tiles, _Q)[:, None], flat, 0.0)
     qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
     force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
     q_ids = structures.q_ids
@@ -808,6 +921,7 @@ def span_fused_forces(
     att_key,
     interpret: bool = False,
     structures: SpanStructures | None = None,
+    tables: "SpanTables | None" = None,
 ):
     """Kernel repulsion + ONE merged edge pass doing attraction AND the
     neighbor-repulsion correction.
@@ -830,12 +944,14 @@ def span_fused_forces(
     f32 = jnp.float32
     L = float(opts.edge_length)
 
+    if tables is None:
+        tables = idx.device_tables()
     if structures is None:
         structures = build_span_structures(
-            positions, inv_w, weights, colors, idx, opts
+            positions, inv_w, weights, colors, idx, opts, tables=tables
         )
     force_k, rep_loss, rep_count, zero_count = _kernel_accumulate(
-        structures, idx, opts, interpret
+        structures, idx, opts, tables, interpret
     )
 
     esrc = jnp.asarray(idx.edge_src)
@@ -874,7 +990,7 @@ def span_fused_forces(
         emask
         & (dist2 <= r_e * r_e)
         & (rank >= cov_start)
-        & (rank < cov_start + jnp.asarray(idx.edge_cov_len))
+        & (rank < cov_start + tables.edge_cov_len)
         & (colors[esrc] != colors[edst])
     )
     act_r = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
@@ -937,6 +1053,7 @@ def span_repulsion_forces(
     opts,
     interpret: bool = False,
     structures: SpanStructures | None = None,
+    tables: "SpanTables | None" = None,
 ):
     """Sparse repulsion via the fused span kernel + O(E) edge correction.
 
@@ -954,12 +1071,14 @@ def span_repulsion_forces(
     f32 = jnp.float32
     L = float(opts.edge_length)
 
+    if tables is None:
+        tables = idx.device_tables()
     if structures is None:
         structures = build_span_structures(
-            positions, inv_w, weights, colors, idx, opts
+            positions, inv_w, weights, colors, idx, opts, tables=tables
         )
     force, loss, count, zero_count = _kernel_accumulate(
-        structures, idx, opts, interpret
+        structures, idx, opts, tables, interpret
     )
 
     # ---- O(E) neighbor correction (reference filters candidates by
@@ -987,7 +1106,7 @@ def span_repulsion_forces(
         emask
         & (dist2 <= r_e * r_e)
         & (rank >= cov_start)
-        & (rank < cov_start + jnp.asarray(idx.edge_cov_len))
+        & (rank < cov_start + tables.edge_cov_len)
         & (colors[esrc] != colors[edst])
     )
     ws = (
