@@ -296,3 +296,30 @@ def test_span_fused_forces_matches_separate_passes():
     assert int(cnt_m) == int(cnt_r)
     assert int(ovf_m) == int(ovf_r)
     assert bool(jnp.all(zc_m == zc_r))
+
+def test_shrunk_pairs_report_no_phantom_overflow():
+    """A (query, target) pair shrunk to 0 tiles with zero members in range
+    must contribute ZERO overflow (not its rank offset mod tile size), and
+    grow_from_needs must NOT resurrect shrunk pairs whose measured need is
+    still zero — otherwise every growth event undoes shrink_empty and
+    wastes capped growth budget (advisor r2, span_sparse.py)."""
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, opts, w, inv_w, pos, idx, dg = _span_setup(3000, 2, False, 4.0, seed=5)
+    # force EVERY pair to 0 tiles: with zero coverage, overflow must equal
+    # the sum of true needs (stop - start), not need + rank-offset junk
+    bare = idx._with_t_table(np.zeros_like(idx.t_table))
+    s = span_mod.build_span_structures(pos, inv_w, w, dg.colors, bare, opts)
+    needs = np.asarray(s.need)
+    assert int(s.overflow) == int(needs.sum())
+    # growth from measured needs must keep zero-need pairs at 0 tiles
+    grown = bare.grow_from_needs(needs)
+    assert grown is not None
+    b = bare.num_groups
+    need_pair = np.zeros((b, b), np.int64)
+    for qg in range(b):
+        rows = needs[bare.blk_group == qg]
+        if rows.size:
+            need_pair[qg] = rows.max(axis=0)
+    assert (grown.t_table[need_pair == 0] == 0).all()
+    assert (grown.t_table[need_pair > 0] > 0).all()

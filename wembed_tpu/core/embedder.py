@@ -414,7 +414,11 @@ class WEmbedEmbedder:
             # (most spread-out) iterations are where windows starve.
             # Once growth caps out, run to convergence accepting the
             # residual truncation (stop_on_overflow=False).
-            stop_on_overflow = self._index is not None
+            # early-exit-on-overflow only pays off for the SpanIndex, whose
+            # growth swaps tables with zero recompilation; BucketIndex
+            # growth changes shapes (full step recompile), so it keeps the
+            # cheaper grow-at-convergence protocol.
+            stop_on_overflow = isinstance(self._index, span_mod.SpanIndex)
             while True:
                 self._state = step_mod.run_embedding(
                     self._step_fn,

@@ -226,8 +226,10 @@ class SpanIndex:
                 need_pair[qg] = rows.max(axis=0)
         # a window of t tiles only guarantees coverage of (t-1)*ST+1
         # members in the worst tile alignment, so the starvation test and
-        # the sizing both carry the +1 quantization tile
-        min_tiles = -(-need_pair // _ST) + 1
+        # the sizing both carry the +1 quantization tile — EXCEPT for pairs
+        # with zero measured need, which require zero tiles (otherwise every
+        # growth event would resurrect all shrink_empty'd pairs)
+        min_tiles = np.where(need_pair > 0, -(-need_pair // _ST) + 1, 0)
         starved = min_tiles > self.t_table
         need_tiles = -(-(need_pair * headroom).astype(np.int64) // _ST) + 1
         t_new = np.where(
@@ -653,7 +655,14 @@ def build_span_structures(
         tiles - t_blk,
     ).astype(jnp.int32)
     cov_end = (start_tile + t_blk) * _ST
-    overflow = jnp.sum(jnp.maximum(stop - cov_end, 0), dtype=jnp.int32)
+    # bound per-pair overflow by the real need (stop - start): a pair shrunk
+    # to 0 tiles with zero members in range must not report its rank offset
+    # (stop mod _ST) as phantom overflow — that would spuriously exit the
+    # device loop and waste one of the capped growth events
+    overflow = jnp.sum(
+        jnp.maximum(jnp.minimum(stop - cov_end, stop - start), 0),
+        dtype=jnp.int32,
+    )
 
     stile = (
         start_tile.reshape(-1)[tables.wt_pair] + tables.wt_off
@@ -902,7 +911,10 @@ def _kernel_accumulate(structures, idx, opts, tables, interpret):
     q_ids = structures.q_ids
     force = jnp.zeros((n, d), f32).at[q_ids].add(force_q, mode="drop")
     loss = jnp.sum(flat[:, d + 1], dtype=f32)
-    count = jnp.sum(flat[:, d + 2], dtype=f32).astype(jnp.int32)
+    # each per-slot count is an exactly-representable small float; round to
+    # integer BEFORE summing so the reduction is exact past 2^24 total
+    # candidates (int32 ceiling ~2.1e9 documented; forces are unaffected)
+    count = jnp.sum(flat[:, d + 2].astype(jnp.int32))
     zero_count = (
         jnp.zeros((n,), jnp.int32)
         .at[q_ids]
