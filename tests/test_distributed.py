@@ -198,3 +198,98 @@ def test_halo_while_loop_convergence_soak():
         float(halo.state.repel_loss), float(single.state.repel_loss),
         rtol=0.25, atol=1.0,
     )
+
+
+# ------------------------------------------------------- sharded span kernel
+
+
+def test_sharded_span_matches_single_chip():
+    """The fused span kernel under shard_map (work-tile chunks + edge
+    ranges, psum'd partials) must reproduce the single-chip span step
+    (VERDICT r2 item 2: resolve_fused_span no longer requires an
+    unsharded step)."""
+    from wembed_tpu.core import step as step_mod
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    rng = np.random.default_rng(5)
+    g, _ = generators.geometric_graph(600, rng=rng)
+    n, d = g.num_vertices, 2
+    opts = EmbedderOptions(
+        embedding_dimension=d, dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET, fused_span="interpret",
+        max_iterations=30, position_min_change=0.0,
+    )
+    coords = rng.uniform(0, n ** (1 / d), size=(n, d))
+    w = weights_mod.initial_weights(g, opts)
+    mesh = make_mesh(8)
+
+    set_seed(33)
+    single = WEmbedEmbedder(
+        g, opts, initial_coordinates=coords, initial_weights=w, verbose=False
+    )
+    assert isinstance(single._index, span_mod.SpanIndex)
+    assert step_mod.resolve_fused_span(single._dg, opts, ("data", 8)) is not None
+
+    from wembed_tpu.distributed.step import MultiChipEmbedder
+
+    set_seed(33)
+    multi = MultiChipEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    assert isinstance(multi._index, span_mod.SpanIndex)
+    for _ in range(3):
+        single.calculate_step()
+        multi.calculate_step()
+        # f32 + psum reassociation: compare normalized coordinates
+        scale = np.abs(single.get_coordinates()).max()
+        np.testing.assert_allclose(
+            multi.get_coordinates() / scale,
+            single.get_coordinates() / scale,
+            atol=5e-5,
+        )
+        assert int(multi.state.num_rep_forces) == int(
+            single.state.num_rep_forces
+        )
+        assert int(multi.state.overflow) == int(single.state.overflow)
+        np.testing.assert_allclose(
+            float(multi.state.attract_loss),
+            float(single.state.attract_loss),
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(multi.state.repel_loss),
+            float(single.state.repel_loss),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_multichip_overflow_growth_recovers():
+    """Forced window truncation on the mesh: the MultiChipEmbedder's
+    device loop must exit on overflow, widen spans from measured needs,
+    and finish with overflow == 0 (VERDICT r2 item 3 — the reference's
+    exact index never truncates, WeightedIndex.cpp:65-100)."""
+    from wembed_tpu.distributed.step import MultiChipEmbedder
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    rng = np.random.default_rng(7)
+    g, _ = generators.geometric_graph(500, rng=rng)
+    n, d = g.num_vertices, 2
+    opts = EmbedderOptions(
+        embedding_dimension=d, dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET, fused_span="interpret",
+        max_iterations=60, position_min_change=1e-4,
+        window_capacity=1,  # starve the initial windows
+    )
+    coords = rng.uniform(0, n ** (1 / d), size=(n, d))
+    w = weights_mod.initial_weights(g, opts)
+    mesh = make_mesh(8)
+    set_seed(21)
+    multi = MultiChipEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    assert isinstance(multi._index, span_mod.SpanIndex)
+    multi.calculate_embedding()
+    assert int(multi.state.overflow) == 0
+    assert np.isfinite(multi.get_coordinates()).all()

@@ -71,14 +71,14 @@ def resolve_fused_span(dg: DeviceGraph, opts: EmbedderOptions, shard) -> str | N
     """Whether the bucket path should use the fused span kernel.
 
     Returns None (off), "compiled", or "interpret".  Auto mode requires:
-    bucket repulsion, no negative sampling, unsharded, f32, full index
-    (index_size == 1), TPU backend.
+    bucket repulsion, no negative sampling, f32, full index
+    (index_size == 1), TPU backend.  Sharded steps partition the
+    work-tile list across the mesh (span_sparse._shard_work_tiles).
     """
     mode = opts.resolve_repulsion_mode(dg.n)
     applicable = (
         mode is RepulsionMode.BUCKET
         and opts.num_negative_samples < 0
-        and shard is None
         and opts.dtype == "float32"
         and opts.index_size >= 1.0
     )
@@ -364,7 +364,7 @@ def build_step(
                 span_mod.span_fused_forces(
                     state.positions, inv_w, weights, dg.colors, index, opts,
                     att_key, interpret=(fused_span == "interpret"),
-                    tables=tables,
+                    tables=tables, shard=shard,
                 )
             )
         else:

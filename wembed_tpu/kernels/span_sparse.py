@@ -807,19 +807,51 @@ def _span_tile_body(*, q, s, qcol, scol, out_ref, d, c, L, rep_scale, additive):
     out_ref[0] += jnp.concatenate(cols, axis=1)
 
 
+def _shard_work_tiles(structures, idx, tables, shard):
+    """Per-device slice of the work-tile list for shard_map execution.
+
+    Returns (qblk, stile, first, grid_w): with ``shard=(axis_name, P)``
+    each device takes a CONTIGUOUS chunk of ceil(W_pad/P) tiles — the
+    chunk offset is ``lax.axis_index`` (traced), the chunk length is
+    static, so all P devices compile the same pallas program.  Because
+    the list is query-block-major, the per-chunk ``first`` flags are the
+    block-change positions within the chunk (each device initializes its
+    own output block on the chunk's first tile of that block; partial
+    accumulators are psum'd by the caller).  Out-of-range slots become
+    padding tiles (qblk == nb) that the kernel skips."""
+    if shard is None:
+        return tables.wt_qblk, structures.stile, tables.wt_first, idx.w_pad
+    axis_name, num_shards = shard
+    w_dev = -(-idx.w_pad // num_shards)
+    sidx = lax.axis_index(axis_name)
+    offs = sidx * w_dev + jnp.arange(w_dev, dtype=jnp.int32)
+    in_range = offs < idx.w_pad
+    cl = jnp.minimum(offs, idx.w_pad - 1)
+    qblk = jnp.where(in_range, tables.wt_qblk[cl], idx.nb)
+    stile = jnp.where(in_range, structures.stile[cl], 0)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qblk[:-1]])
+    first = (qblk != prev).astype(jnp.int32)
+    return qblk, stile, first, w_dev
+
+
 def span_query(
     structures: SpanStructures,
     idx: SpanIndex,
     opts,
     tables: "SpanTables | None" = None,
     interpret: bool = False,
+    shard: tuple[str, int] | None = None,
 ):
     """Run the fused candidate sweep.  Returns per-query-slot channel
     accumulators (NB+1, _Q, C): [acc_pos(d), rowsum, loss, count, zero]
-    (the last block is the bucket-padding dummy)."""
+    (the last block is the bucket-padding dummy).  With ``shard`` each
+    device sweeps its chunk of the work-tile list (partial output)."""
     if tables is None:
         tables = idx.device_tables()
     c, d = idx.num_channels, idx.d
+    qblk, stile, first, grid_w = _shard_work_tiles(
+        structures, idx, tables, shard
+    )
     kern = functools.partial(
         _span_kernel,
         d=d,
@@ -831,7 +863,7 @@ def span_query(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(idx.w_pad,),
+        grid=(grid_w,),
         in_specs=[
             pl.BlockSpec(
                 (1, _Q, c),
@@ -865,18 +897,18 @@ def span_query(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((idx.nb + 1, _Q, c), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=idx.w_pad * _Q * _ST * (3 * d + 16),
-            bytes_accessed=idx.w_pad * (_ST * (c + 1) + _Q * (c + 1)) * 4,
-            transcendentals=idx.w_pad * _Q * _ST,
+            flops=grid_w * _Q * _ST * (3 * d + 16),
+            bytes_accessed=grid_w * (_ST * (c + 1) + _Q * (c + 1)) * 4,
+            transcendentals=grid_w * _Q * _ST,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(
-        tables.wt_qblk,
-        structures.stile,
-        tables.wt_first,
+        qblk,
+        stile,
+        first,
         structures.qdata,
         structures.qcol,
         structures.sdata,
@@ -887,25 +919,31 @@ def span_query(
 # ------------------------------------------------------------ full wrapper
 
 
-def _kernel_accumulate(structures, idx, opts, tables, interpret):
+def _kernel_accumulate(structures, idx, opts, tables, interpret, shard=None):
     """Run the pallas sweep and unsort its per-query accumulators:
-    (force (n,d) f32, repel_loss, candidate count, zero_count (n,))."""
+    (force (n,d) f32, repel_loss, candidate count, zero_count (n,)).
+    With ``shard`` every return value is this device's PARTIAL (the
+    caller psums across the mesh)."""
     d = idx.d
     n = idx.n
     f32 = jnp.float32
     if tables is None:
         tables = idx.device_tables()
-    out = span_query(structures, idx, opts, tables=tables, interpret=interpret)
+    out = span_query(
+        structures, idx, opts, tables=tables, interpret=interpret, shard=shard
+    )
     c = idx.num_channels
     flat = out.reshape(idx.nq, c)
-    # blocks with NO work tiles (every window shrunk to 0, or the dummy
-    # padding block when the bucket has no padding tiles) never write
-    # their out rows — mask the uninitialized memory.  blk_t is traced, so
-    # this survives table swaps without recompiling.
-    has_tiles = jnp.concatenate(
-        [tables.blk_t.sum(axis=1) > 0, jnp.zeros((1,), bool)]
+    # blocks this sweep never visited (every window shrunk to 0, the dummy
+    # padding block, or — under sharding — blocks owned by other devices'
+    # chunks) never write their out rows: mask the uninitialized memory.
+    # Derived from the TRACED chunk tables, so it survives table swaps
+    # without recompiling.
+    qblk = _shard_work_tiles(structures, idx, tables, shard)[0]
+    visited = (
+        jnp.zeros((idx.nb + 1,), bool).at[qblk].set(True).at[idx.nb].set(False)
     )
-    flat = jnp.where(jnp.repeat(has_tiles, _Q)[:, None], flat, 0.0)
+    flat = jnp.where(jnp.repeat(visited, _Q)[:, None], flat, 0.0)
     qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
     force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
     q_ids = structures.q_ids
@@ -914,7 +952,7 @@ def _kernel_accumulate(structures, idx, opts, tables, interpret):
     # each per-slot count is an exactly-representable small float; round to
     # integer BEFORE summing so the reduction is exact past 2^24 total
     # candidates (int32 ceiling ~2.1e9 documented; forces are unaffected)
-    count = jnp.sum(flat[:, d + 2].astype(jnp.int32))
+    count = jnp.sum(flat[:, d + 2].astype(jnp.int32), dtype=jnp.int32)
     zero_count = (
         jnp.zeros((n,), jnp.int32)
         .at[q_ids]
@@ -934,6 +972,7 @@ def span_fused_forces(
     interpret: bool = False,
     structures: SpanStructures | None = None,
     tables: "SpanTables | None" = None,
+    shard: tuple[str, int] | None = None,
 ):
     """Kernel repulsion + ONE merged edge pass doing attraction AND the
     neighbor-repulsion correction.
@@ -950,6 +989,14 @@ def span_fused_forces(
 
     Returns (force (n,d), att_loss, rep_loss, rep_count, overflow,
     zero_count) — everything the step needs from both force passes.
+
+    With ``shard=(axis_name, P)`` (inside shard_map over replicated
+    inputs) every device builds the IDENTICAL sorted structures, sweeps
+    its contiguous chunk of the work-tile list, and walks its contiguous
+    range of the directed edge array; all returns are partials for the
+    caller's single psum.  ``overflow`` (computed identically everywhere)
+    is reported by device 0 only, so the psum'd total matches the
+    single-chip value.
     """
     n, d = positions.shape
     dtype = positions.dtype
@@ -963,13 +1010,35 @@ def span_fused_forces(
             positions, inv_w, weights, colors, idx, opts, tables=tables
         )
     force_k, rep_loss, rep_count, zero_count = _kernel_accumulate(
-        structures, idx, opts, tables, interpret
+        structures, idx, opts, tables, interpret, shard=shard
     )
 
     esrc = jnp.asarray(idx.edge_src)
     edst = jnp.asarray(idx.edge_dst)
     emask = jnp.asarray(idx.edge_mask)
     eg = jnp.asarray(idx.edge_dst_group)
+    edge_bmaxpow = jnp.asarray(idx.edge_bmaxpow)
+    edge_cov_len = tables.edge_cov_len
+    e_full = int(esrc.shape[0])
+    kick_shape = e_full
+    e_sel = None
+    overflow = structures.overflow
+    if shard is not None:
+        axis_name, num_shards = shard
+        e_dev = -(-e_full // num_shards)
+        sidx = lax.axis_index(axis_name)
+        offs = sidx * e_dev + jnp.arange(e_dev, dtype=jnp.int32)
+        in_range = offs < e_full
+        e_sel = jnp.minimum(offs, e_full - 1)
+        # clamped tail repeats the LAST edge (src = n-1, the sorted max),
+        # so the chunk stays src-sorted for the segment sums; masked out
+        esrc = esrc[e_sel]
+        edst = edst[e_sel]
+        emask = emask[e_sel] & in_range
+        eg = eg[e_sel]
+        edge_bmaxpow = edge_bmaxpow[e_sel]
+        edge_cov_len = edge_cov_len[e_sel]
+        overflow = jnp.where(sidx == 0, overflow, 0)
     b = idx.num_groups
 
     pos32 = positions.astype(f32)
@@ -992,7 +1061,7 @@ def span_fused_forces(
 
     # correction: mirrors the kernel's inclusion exactly (same radius
     # product, same covered tile windows, same color filter)
-    r_e = structures.lwpow[esrc] * jnp.asarray(idx.edge_bmaxpow)
+    r_e = structures.lwpow[esrc] * edge_bmaxpow
     cov_start = (
         structures.start_tile.reshape(-1)[structures.block_of[esrc] * b + eg]
         * _ST
@@ -1002,7 +1071,7 @@ def span_fused_forces(
         emask
         & (dist2 <= r_e * r_e)
         & (rank >= cov_start)
-        & (rank < cov_start + tables.edge_cov_len)
+        & (rank < cov_start + edge_cov_len)
         & (colors[esrc] != colors[edst])
     )
     act_r = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
@@ -1021,9 +1090,12 @@ def span_fused_forces(
     def with_kicks(f):
         from ..core import forces as forces_mod
 
-        kicks = forces_mod.random_unit_vectors(
-            att_key, (esrc.shape[0],), d, f32
-        )
+        # kicks are keyed by GLOBAL edge index (generate the full array,
+        # slice this device's chunk) so sharded trajectories match the
+        # single-chip path bit-for-bit even through coincident kicks
+        kicks = forces_mod.random_unit_vectors(att_key, (kick_shape,), d, f32)
+        if e_sel is not None:
+            kicks = kicks[e_sel]
         return jnp.where(zero_e[:, None], kicks, f)
 
     net_e = lax.cond(jnp.any(zero_e), with_kicks, lambda f: f, net_e)
@@ -1051,7 +1123,7 @@ def span_fused_forces(
         att_loss,
         rep_loss,
         rep_count,
-        structures.overflow,
+        overflow,
         zero_count,
     )
 
