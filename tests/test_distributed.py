@@ -293,3 +293,115 @@ def test_multichip_overflow_growth_recovers():
     multi.calculate_embedding()
     assert int(multi.state.overflow) == 0
     assert np.isfinite(multi.get_coordinates()).all()
+
+
+def test_halo_span_matches_single_chip():
+    """The span kernel under the HALO backend (sharded state, work-tile
+    chunks, psum_scatter reduction) must reproduce the single-chip span
+    step."""
+    from wembed_tpu.distributed.halo import HaloEmbedder
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    rng = np.random.default_rng(5)
+    g, _ = generators.geometric_graph(600, rng=rng)
+    n, d = g.num_vertices, 2
+    opts = EmbedderOptions(
+        embedding_dimension=d, dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET, fused_span="interpret",
+        max_iterations=30, position_min_change=0.0,
+    )
+    coords = rng.uniform(0, n ** (1 / d), size=(n, d))
+    w = weights_mod.initial_weights(g, opts)
+    mesh = make_mesh(8)
+
+    set_seed(33)
+    single = WEmbedEmbedder(
+        g, opts, initial_coordinates=coords, initial_weights=w, verbose=False
+    )
+    set_seed(33)
+    halo = HaloEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    assert isinstance(halo._index, span_mod.SpanIndex)
+    for _ in range(3):
+        single.calculate_step()
+        halo.calculate_step()
+        scale = np.abs(single.get_coordinates()).max()
+        np.testing.assert_allclose(
+            halo.get_coordinates() / scale,
+            single.get_coordinates() / scale,
+            atol=5e-5,
+        )
+        assert int(halo.state.num_rep_forces) == int(
+            single.state.num_rep_forces
+        )
+        np.testing.assert_allclose(
+            float(halo.state.repel_loss),
+            float(single.state.repel_loss),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_halo_overflow_growth_recovers():
+    """Forced truncation on the halo backend must trigger the grow-and-
+    resume protocol and finish with overflow == 0 (VERDICT r2 item 3:
+    halo previously ignored state.overflow entirely)."""
+    from wembed_tpu.distributed.halo import HaloEmbedder
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    rng = np.random.default_rng(7)
+    g, _ = generators.geometric_graph(500, rng=rng)
+    n, d = g.num_vertices, 2
+    opts = EmbedderOptions(
+        embedding_dimension=d, dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET, fused_span="interpret",
+        max_iterations=60, position_min_change=1e-4,
+        window_capacity=1,
+    )
+    coords = rng.uniform(0, n ** (1 / d), size=(n, d))
+    w = weights_mod.initial_weights(g, opts)
+    mesh = make_mesh(8)
+    set_seed(21)
+    halo = HaloEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    assert isinstance(halo._index, span_mod.SpanIndex)
+    halo.calculate_embedding()
+    assert int(halo.state.overflow) == 0
+    assert np.isfinite(halo.get_coordinates()).all()
+
+
+def test_halo_checkpoint_roundtrip(tmp_path):
+    """Checkpoint a mid-run halo embedding, restore into a FRESH
+    HaloEmbedder, and verify the state (positions, moments, iteration)
+    round-trips (VERDICT r2 item 7: halo previously had no checkpoint
+    support)."""
+    from wembed_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from wembed_tpu.distributed.halo import HaloEmbedder
+
+    g, opts, coords, w = _setup(RepulsionMode.BUCKET, n=200, seed=9)
+    mesh = make_mesh(8)
+    set_seed(44)
+    halo = HaloEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    for _ in range(4):
+        halo.calculate_step()
+    path = str(tmp_path / "halo_ckpt.npz")
+    save_checkpoint(path, halo)
+    coords_before = halo.get_coordinates()
+
+    set_seed(99)  # different seed: restore must overwrite everything
+    halo2 = HaloEmbedder(g, opts, mesh=mesh, verbose=False)
+    load_checkpoint(path, halo2)
+    np.testing.assert_allclose(halo2.get_coordinates(), coords_before)
+    assert halo2.iteration == halo.iteration
+    # resumed trajectory continues identically
+    halo.calculate_step()
+    halo2.calculate_step()
+    np.testing.assert_allclose(
+        halo2.get_coordinates(), halo.get_coordinates(), rtol=1e-12, atol=1e-12
+    )

@@ -27,7 +27,10 @@ from .state import EmbedState
 
 
 def _flat_state_arrays(embedder: WEmbedEmbedder) -> dict:
-    s = embedder.state
+    # distributed embedders (HaloEmbedder) expose host_state: per-vertex
+    # arrays gathered and trimmed to (n, ...) — device-count independent,
+    # so a halo checkpoint restores into any backend and mesh size
+    s = getattr(embedder, "host_state", embedder.state)
     return dict(
         positions=np.asarray(s.positions),
         adam_m=np.asarray(s.adam_m),

@@ -58,7 +58,9 @@ from ..core.optim import AdamParams
 from ..core.options import EmbedderOptions, RepulsionMode
 from ..core.state import DeviceGraph, EmbedState, init_state, random_positions
 from ..graphs.csr import CSRGraph
+from ..kernels import span_sparse as span_mod
 from ..utils import rng as rng_mod
+from ..utils.timer import Timer, TimingResult
 from .mesh import DATA_AXIS
 
 
@@ -156,23 +158,37 @@ def build_halo_step(
     weights_np: np.ndarray,
     mesh: Mesh,
     axis_name: str = DATA_AXIS,
+    index=None,
 ):
     """Returns (jitted_step, plan, dg, index, shard_state) — the vertex-
-    sharded step.  ``jitted_step(state, weights, inv_w) -> state`` where
-    the state's per-vertex arrays are (n_pad, d) sharded by rows;
+    sharded step.  ``jitted_step(state, weights, inv_w, tables) -> state``
+    where the state's per-vertex arrays are (n_pad, d) sharded by rows;
     ``shard_state(state)`` device_puts a replicated/host state into that
-    layout."""
+    layout.  ``index`` may be passed in (span growth rebuilds)."""
     Pn = mesh.devices.size
+    shard = (axis_name, Pn)
     plan = HaloPlan.build(graph, Pn)
     dg = DeviceGraph.build(graph)
     mode = opts.resolve_repulsion_mode(graph.num_vertices)
     use_sampling = opts.num_negative_samples >= 0
-    index = None
     dense_adj = None
+    span_mode = None
     if not use_sampling and mode is RepulsionMode.BUCKET:
-        index = cand_mod.BucketIndex.build(
-            weights_np, opts, graph.edge_src, graph.col_idx
-        )
+        span_mode = step_mod.resolve_fused_span(dg, opts, shard)
+        if index is None:
+            if span_mode is not None:
+                # fused span kernel for the repulsion pass: work-tile
+                # chunks per device, partial forces reduce-scattered back
+                # to vertex shards like the jnp bucket path
+                index = span_mod.SpanIndex.build(
+                    weights_np, opts, graph.edge_src, graph.col_idx
+                )
+            else:
+                index = cand_mod.BucketIndex.build(
+                    weights_np, opts, graph.edge_src, graph.col_idx
+                )
+        elif not isinstance(index, span_mod.SpanIndex):
+            span_mode = None
     elif not use_sampling and mode is RepulsionMode.DENSE:
         dense_adj = forces.build_dense_adjacency(dg)
     hp = AdamParams(opts.learning_rate, opts.cooling_factor)
@@ -187,9 +203,9 @@ def build_halo_step(
          plan.edge_mask, plan.send_idx),
     )
 
-    def halo_step(state, weights, inv_w, esrc_l, edst_ext, edst_g, emask, send_idx):
+    def halo_step(state, weights, inv_w, tables, esrc_l, edst_ext, edst_g, emask, send_idx):
         """Runs per device inside shard_map.  state arrays are the LOCAL
-        row slices (R, ...); weights/inv_w are replicated (n,)."""
+        row slices (R, ...); weights/inv_w/tables are replicated."""
         esrc_l, edst_ext, edst_g = esrc_l[0], edst_ext[0], edst_g[0]
         emask, send_idx = emask[0], send_idx[0]
         p = lax.axis_index(axis_name)
@@ -262,6 +278,24 @@ def build_halo_step(
             rep_force, rep_loss, rep_count, zero_n = forces.dense_repulsion_forces(
                 pos_full, inv_w, dense_adj, dg.colors, opts, shard=(axis_name, Pn)
             )
+        elif span_mode is not None:
+            # every device builds the IDENTICAL sorted structures from the
+            # replicated gathered positions, then sweeps its chunk of the
+            # work-tile list (span_sparse._shard_work_tiles)
+            rep_force, rep_loss, rep_count, overflow, zero_n = (
+                span_mod.span_repulsion_forces(
+                    pos_full.astype(jnp.float32),
+                    inv_w.astype(jnp.float32),
+                    weights.astype(jnp.float32),
+                    dg.colors,
+                    index,
+                    opts,
+                    interpret=(span_mode == "interpret"),
+                    tables=tables,
+                    shard=(axis_name, Pn),
+                )
+            )
+            rep_force = rep_force.astype(dtype)
         else:
             rep_force, rep_loss, rep_count, overflow, zero_n = (
                 cand_mod.bucket_repulsion_forces(
@@ -329,13 +363,13 @@ def build_halo_step(
     sharded = shard_map(
         halo_step,
         mesh=mesh,
-        in_specs=(state_specs, P(), P()) + (P(axis_name),) * 5,
+        in_specs=(state_specs, P(), P(), P()) + (P(axis_name),) * 5,
         out_specs=state_specs,
         check_vma=False,
     )
 
-    def step(state, weights, inv_w):
-        return sharded(state, weights, inv_w, *plan_dev)
+    def step(state, weights, inv_w, tables=None):
+        return sharded(state, weights, inv_w, tables, *plan_dev)
 
     jitted = jax.jit(step)
 
@@ -364,26 +398,48 @@ def build_halo_step(
     return jitted, plan, dg, index, shard_state
 
 
-@partial(jax.jit, static_argnames=("step", "max_iterations", "position_min_change"))
-def halo_run_embedding(step, state, weights, inv_w, max_iterations, position_min_change):
-    """Full vertex-sharded calculateEmbedding as one device-side while-loop."""
+@partial(jax.jit, static_argnames=("step",))
+def halo_run_embedding(
+    step,
+    state,
+    weights,
+    inv_w,
+    max_iterations,
+    position_min_change,
+    stop_on_overflow=False,
+    tables=None,
+):
+    """Full vertex-sharded calculateEmbedding as one device-side while-loop.
+
+    Loop parameters are TRACED; with ``stop_on_overflow`` the loop exits
+    as soon as a step truncates candidate windows so the host can widen
+    them (same protocol as the single-chip ``run_embedding``)."""
+    stop_on_overflow = jnp.asarray(stop_on_overflow, bool)
 
     def cond(s):
-        return (s.iteration < max_iterations) & (s.pos_change >= position_min_change)
+        return (
+            (s.iteration < max_iterations)
+            & (s.pos_change >= position_min_change)
+            & (~stop_on_overflow | (s.overflow == 0))
+        )
 
-    return lax.while_loop(cond, lambda s: step(s, weights, inv_w), state)
+    return lax.while_loop(cond, lambda s: step(s, weights, inv_w, tables), state)
 
 
 class HaloEmbedder:
     """Host driver for the vertex-sharded backend — the multi-device
     counterpart of WEmbedEmbedder for graphs whose state exceeds one
-    device's memory."""
+    device's memory.  Public surface mirrors the reference Embedder
+    (include/wembed.h:105-145): calculate_step / calculate_embedding /
+    get_loss / get_timings / set_coordinates, plus full-state
+    checkpointability (core/checkpoint.py)."""
 
     def __init__(
         self,
         graph: CSRGraph,
         opts: EmbedderOptions | None = None,
         mesh: Mesh | None = None,
+        timer: Timer | None = None,
         initial_coordinates: np.ndarray | None = None,
         initial_weights: np.ndarray | None = None,
         verbose: bool = True,
@@ -394,6 +450,7 @@ class HaloEmbedder:
         self.graph = graph
         self.opts = opts or EmbedderOptions()
         self.mesh = mesh or make_mesh()
+        self.timer = timer or Timer()
         self.verbose = verbose
         self._dtype = jnp.float64 if self.opts.dtype == "float64" else jnp.float32
         n, dim = graph.num_vertices, self.opts.embedding_dimension
@@ -406,8 +463,14 @@ class HaloEmbedder:
         self._inv_w = jnp.asarray(
             weights_mod.inv_exp_weights(self._weights_np, dim), dtype=self._dtype
         )
+        self._span_scale = 1.0
         self._step, self.plan, self._dg, self._index, self._shard_state = (
             build_halo_step(graph, self.opts, self._weights_np, self.mesh)
+        )
+        self._tables = (
+            self._index.device_tables()
+            if isinstance(self._index, span_mod.SpanIndex)
+            else None
         )
         self._state = self._shard_state(
             init_state(
@@ -416,21 +479,140 @@ class HaloEmbedder:
                 dtype=self._dtype,
             )
         )
+        self._presize_spans()
 
+    # ---------------------------------------------------------- span growth
+    def _span_structures(self):
+        pos = jnp.asarray(self.get_coordinates(), jnp.float32)
+        return span_mod.build_span_structures(
+            pos,
+            jnp.asarray(self._inv_w, jnp.float32),
+            jnp.asarray(self._weights, jnp.float32),
+            self._dg.colors,
+            self._index,
+            self.opts,
+        )
+
+    def _swap_index(self, new_index) -> None:
+        same_bucket = new_index.w_pad == self._index.w_pad
+        self._index = new_index
+        self._tables = new_index.device_tables()
+        if not same_bucket:
+            self._step, self.plan, self._dg, self._index, self._shard_state = (
+                build_halo_step(
+                    self.graph, self.opts, self._weights_np, self.mesh,
+                    index=new_index,
+                )
+            )
+
+    def _presize_spans(self) -> None:
+        if not isinstance(self._index, span_mod.SpanIndex):
+            return
+        structures = None
+        for _ in range(3):
+            structures = self._span_structures()
+            if int(structures.overflow) == 0:
+                break
+            grown = self._index.grow_from_needs(np.asarray(structures.need))
+            if grown is None:
+                break
+            self._swap_index(grown)
+        if structures is not None:
+            shrunk = self._index.shrink_empty(np.asarray(structures.need))
+            if shrunk is not None:
+                self._swap_index(shrunk)
+
+    def _grow_spans(self) -> bool:
+        if not isinstance(self._index, span_mod.SpanIndex):
+            return False
+        if self._span_scale >= 1024 or not self._index.can_grow():
+            return False
+        structures = self._span_structures()
+        grown = self._index.grow_from_needs(np.asarray(structures.need))
+        if grown is None:
+            return False
+        self._span_scale *= 2.0
+        self._swap_index(grown)
+        return True
+
+    # ------------------------------------------------------------ embedding
     @property
     def state(self) -> EmbedState:
         return self._state
 
-    def calculate_step(self) -> None:
-        self._state = self._step(self._state, self._weights, self._inv_w)
-        self._state.positions.block_until_ready()
+    @state.setter
+    def state(self, s: EmbedState) -> None:
+        """Accepts a HOST/replicated state with (n, ...) per-vertex arrays
+        (checkpoint restore) and re-shards it; sharded states pass through."""
+        if s.positions.shape[0] == self.plan.n_pad:
+            self._state = s
+        else:
+            self._state = self._shard_state(s)
 
-    def calculate_embedding(self) -> None:
-        self._state = halo_run_embedding(
-            self._step, self._state, self._weights, self._inv_w,
-            self.opts.max_iterations, self.opts.position_min_change,
+    @property
+    def host_state(self) -> EmbedState:
+        """The state with per-vertex arrays gathered and trimmed to (n, ...)
+        — the checkpointable (device-count-independent) layout."""
+        n = self.graph.num_vertices
+        return self._state._replace(
+            positions=jnp.asarray(np.asarray(self._state.positions)[:n]),
+            adam_m=jnp.asarray(np.asarray(self._state.adam_m)[:n]),
+            adam_v=jnp.asarray(np.asarray(self._state.adam_v)[:n]),
         )
-        self._state.positions.block_until_ready()
+
+    def calculate_step(self) -> None:
+        with self.timer.phase("step", "Embedding step"):
+            self._state = self._step(
+                self._state, self._weights, self._inv_w, self._tables
+            )
+            self._state.positions.block_until_ready()
+        if int(self._state.overflow) > 0 and self._grow_spans():
+            if self.verbose:
+                print(
+                    f"(growing candidate spans to x{self._span_scale:g} "
+                    f"after overflow {int(self._state.overflow)})"
+                )
+            self._state = self._state._replace(
+                overflow=jnp.asarray(0, jnp.int32)
+            )
+
+    def calculate_embedding(self, max_iterations: int | None = None) -> None:
+        """Run to convergence; on truncated candidate windows, exit the
+        device loop, widen them from measured needs, and resume — never
+        converge silently under truncation (the reference's exact index
+        cannot truncate, WeightedIndex.cpp:65-100)."""
+        cap = (
+            self.opts.max_iterations
+            if max_iterations is None
+            else max_iterations
+        )
+        stop_on_overflow = isinstance(self._index, span_mod.SpanIndex)
+        with self.timer.phase("embedding_all", "Embedding"):
+            while True:
+                self._state = halo_run_embedding(
+                    self._step, self._state, self._weights, self._inv_w,
+                    cap, self.opts.position_min_change,
+                    stop_on_overflow, self._tables,
+                )
+                self._state.positions.block_until_ready()
+                if int(self._state.iteration) >= cap:
+                    break
+                if int(self._state.overflow) == 0:
+                    break
+                if self._grow_spans():
+                    if self.verbose:
+                        print(
+                            f"(growing candidate spans to x{self._span_scale:g} "
+                            f"after overflow {int(self._state.overflow)})"
+                        )
+                else:
+                    if not stop_on_overflow:
+                        break
+                    stop_on_overflow = False
+                self._state = self._state._replace(
+                    pos_change=jnp.asarray(jnp.inf, jnp.float32),
+                    overflow=jnp.asarray(0, jnp.int32),
+                )
 
     def is_finished(self) -> bool:
         return int(self._state.iteration) >= self.opts.max_iterations or (
@@ -438,6 +620,7 @@ class HaloEmbedder:
             and float(self._state.pos_change) < self.opts.position_min_change
         )
 
+    # ------------------------------------------------------------- accessors
     def get_coordinates(self) -> np.ndarray:
         return np.asarray(self._state.positions, dtype=np.float64)[
             : self.graph.num_vertices
@@ -446,6 +629,60 @@ class HaloEmbedder:
     def get_weights(self) -> np.ndarray:
         return self._weights_np.copy()
 
+    def set_coordinates(self, coordinates: np.ndarray) -> None:
+        coordinates = np.asarray(coordinates, dtype=np.float64)
+        n, d = self.graph.num_vertices, self.opts.embedding_dimension
+        if coordinates.shape != (n, d):
+            raise ValueError(f"expected ({n}, {d}) coordinates")
+        host = self.host_state._replace(
+            positions=jnp.asarray(coordinates, self._dtype)
+        )
+        self._state = self._shard_state(host)
+        self._presize_spans()
+
+    def set_weights(self, w: np.ndarray) -> None:
+        """New weights change the bucket structure: rebuild the sharded
+        step (checkpoint-restore path, core/checkpoint.py)."""
+        from ..core import weights as weights_mod
+
+        w = np.asarray(w, dtype=np.float64)
+        if w.shape != (self.graph.num_vertices,):
+            raise ValueError(f"weights shape {w.shape}")
+        self._weights_np = w
+        dim = self.opts.embedding_dimension
+        self._weights = jnp.asarray(w, dtype=self._dtype)
+        self._inv_w = jnp.asarray(
+            weights_mod.inv_exp_weights(w, dim), dtype=self._dtype
+        )
+        self._span_scale = 1.0
+        self._step, self.plan, self._dg, self._index, self._shard_state = (
+            build_halo_step(self.graph, self.opts, self._weights_np, self.mesh)
+        )
+        self._tables = (
+            self._index.device_tables()
+            if isinstance(self._index, span_mod.SpanIndex)
+            else None
+        )
+        self._presize_spans()
+
+    def get_timings(self) -> list[TimingResult]:
+        return self.timer.results()
+
+    def get_loss(self):
+        from ..core.embedder import Loss
+
+        return Loss(
+            float(self._state.attract_loss), float(self._state.repel_loss)
+        )
+
     @property
     def iteration(self) -> int:
         return int(self._state.iteration)
+
+    @property
+    def num_vertices(self) -> int:
+        return self.graph.num_vertices
+
+    @property
+    def embedding_dimension(self) -> int:
+        return self.opts.embedding_dimension

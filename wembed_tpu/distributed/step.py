@@ -338,6 +338,29 @@ class MultiChipEmbedder:
         )
         self._presize_spans()
 
+    def set_weights(self, w: np.ndarray) -> None:
+        """New weights change the bucket structure: rebuild the sharded
+        step (checkpoint-restore path, core/checkpoint.py)."""
+        w = np.asarray(w, dtype=np.float64)
+        if w.shape != (self.graph.num_vertices,):
+            raise ValueError(f"weights shape {w.shape}")
+        self._weights_np = w
+        d = self.opts.embedding_dimension
+        self._weights = jnp.asarray(w, dtype=self._dtype)
+        self._inv_w = jnp.asarray(
+            weights_mod.inv_exp_weights(w, d), dtype=self._dtype
+        )
+        self._span_scale = 1.0
+        self._run, self._dg, self._index = build_multichip_step(
+            self.graph, self.opts, self._weights_np, self.mesh
+        )
+        self._tables = (
+            self._index.device_tables()
+            if isinstance(self._index, span_mod.SpanIndex)
+            else None
+        )
+        self._presize_spans()
+
     def get_timings(self) -> list[TimingResult]:
         return self.timer.results()
 

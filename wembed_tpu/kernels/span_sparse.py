@@ -1138,6 +1138,7 @@ def span_repulsion_forces(
     interpret: bool = False,
     structures: SpanStructures | None = None,
     tables: "SpanTables | None" = None,
+    shard: tuple[str, int] | None = None,
 ):
     """Sparse repulsion via the fused span kernel + O(E) edge correction.
 
@@ -1149,6 +1150,11 @@ def span_repulsion_forces(
     radii use the MERGED group's max weight, so ``num_rep_candidates``
     can exceed the per-class counts of the reference/jnp paths; forces
     are unaffected (the active condition implies the candidate radius).
+
+    With ``shard=(axis_name, P)`` (inside shard_map; positions/weights
+    replicated) all returns are per-device partials for the caller's
+    psum — work-tile chunks for the kernel, edge ranges for the
+    correction, overflow reported by device 0 only.
     """
     n, d = positions.shape
     dtype = positions.dtype
@@ -1162,7 +1168,7 @@ def span_repulsion_forces(
             positions, inv_w, weights, colors, idx, opts, tables=tables
         )
     force, loss, count, zero_count = _kernel_accumulate(
-        structures, idx, opts, tables, interpret
+        structures, idx, opts, tables, interpret, shard=shard
     )
 
     # ---- O(E) neighbor correction (reference filters candidates by
@@ -1174,13 +1180,31 @@ def span_repulsion_forces(
     edst = jnp.asarray(idx.edge_dst)
     emask = jnp.asarray(idx.edge_mask)
     eg = jnp.asarray(idx.edge_dst_group)
+    edge_bmaxpow = jnp.asarray(idx.edge_bmaxpow)
+    edge_cov_len = tables.edge_cov_len
+    overflow = structures.overflow
+    if shard is not None:
+        axis_name, num_shards = shard
+        e_full = int(esrc.shape[0])
+        e_dev = -(-e_full // num_shards)
+        sidx = lax.axis_index(axis_name)
+        offs = sidx * e_dev + jnp.arange(e_dev, dtype=jnp.int32)
+        in_range = offs < e_full
+        e_sel = jnp.minimum(offs, e_full - 1)
+        esrc = esrc[e_sel]
+        edst = edst[e_sel]
+        emask = emask[e_sel] & in_range
+        eg = eg[e_sel]
+        edge_bmaxpow = edge_bmaxpow[e_sel]
+        edge_cov_len = edge_cov_len[e_sel]
+        overflow = jnp.where(sidx == 0, overflow, 0)
     b = idx.num_groups
 
     psrc = positions.astype(f32)[esrc]
     pdst = positions.astype(f32)[edst]
     diff = psrc - pdst
     dist2 = jnp.sum(diff * diff, axis=-1)
-    r_e = structures.lwpow[esrc] * jnp.asarray(idx.edge_bmaxpow)
+    r_e = structures.lwpow[esrc] * edge_bmaxpow
     cov_start = (
         structures.start_tile.reshape(-1)[structures.block_of[esrc] * b + eg]
         * _ST
@@ -1190,7 +1214,7 @@ def span_repulsion_forces(
         emask
         & (dist2 <= r_e * r_e)
         & (rank >= cov_start)
-        & (rank < cov_start + tables.edge_cov_len)
+        & (rank < cov_start + edge_cov_len)
         & (colors[esrc] != colors[edst])
     )
     ws = (
@@ -1222,6 +1246,6 @@ def span_repulsion_forces(
         force.astype(dtype),
         loss,
         count,
-        structures.overflow,
+        overflow,
         zero_count,
     )
