@@ -131,3 +131,46 @@ def test_graph_from_networkx_duck_typed():
     assert g.getNumEdges() == 4
     assert g.node_labels == ["a", "b", "c", "d"]
     assert g.areNeighbors(0, 1) and not g.areNeighbors(0, 2)
+
+
+def test_create_embedder_distributed_backends():
+    """createEmbedder with distributedMode drives the sharded backends
+    end-to-end through the public surface, including checkpoint-resume
+    (VERDICT r2 item 7)."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    import numpy as np
+
+    from wembed_tpu import api as wembed
+    from wembed_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from wembed_tpu.graphs import generators
+
+    rng = np.random.default_rng(3)
+    g_csr, _ = generators.geometric_graph(150, rng=rng)
+    g = wembed.Graph(g_csr)
+    for mode in ("replicated", "halo"):
+        wembed.setSeed(5)
+        opts = wembed.Options(
+            embeddingDimension=2, maxIterations=8, distributedMode=mode,
+            numDevices=8,
+        )
+        emb = wembed.createEmbedder(g, opts)
+        emb.calculateEmbedding()
+        coords = np.asarray(emb.getCoordinates())
+        assert coords.shape == (g.getNumVertices(), 2)
+        assert np.isfinite(coords).all()
+        assert emb.getLoss().total > 0
+        # checkpoint-resume through the public impl handle
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "ckpt.npz")
+            save_checkpoint(path, emb.impl)
+            wembed.setSeed(17)
+            emb2 = wembed.createEmbedder(g, opts)
+            load_checkpoint(path, emb2.impl)
+            np.testing.assert_allclose(
+                np.asarray(emb2.getCoordinates()), coords
+            )

@@ -405,3 +405,42 @@ def test_halo_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         halo2.get_coordinates(), halo.get_coordinates(), rtol=1e-12, atol=1e-12
     )
+
+
+def test_multihost_two_process_smoke():
+    """jax.distributed across 2 CPU processes (2 virtual devices each):
+    the replicated backend must run over the 4-device GLOBAL mesh and
+    both processes must agree on the final coordinates (VERDICT r2
+    item 5 — the multi-host entry point + harness)."""
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = str(Path(__file__).parent / "multihost_smoke.py")
+    env = {
+        k: v for k, v in __import__("os").environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, script, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"proc failed:\n{out}\n{err}"
+        outs.append(out)
+    sums = [
+        line.split()[2]
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("CHECKSUM")
+    ]
+    assert len(sums) == 2 and sums[0] == sums[1], outs

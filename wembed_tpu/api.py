@@ -70,6 +70,17 @@ class Options:
     maxIterations: int = 1000
     positionMinChange: float = 1e-4
 
+    # TPU-native extensions (the reference is single-process OpenMP only,
+    # SURVEY.md §2.13): multi-device execution over a jax.sharding.Mesh.
+    #   "none"       — single device (default)
+    #   "replicated" — replicated state, work-partitioned forces, one psum
+    #                  per step (distributed/step.py MultiChipEmbedder)
+    #   "halo"       — vertex-sharded state + halo exchange, O(n/P) memory
+    #                  per device (distributed/halo.py HaloEmbedder)
+    distributedMode: str = "none"
+    numDevices: int = -1  # -1: all visible devices
+    multiHost: bool = False  # call jax.distributed.initialize first
+
 
 def _translate_options(options: Options) -> EmbedderOptions:
     """Option translation (reference src/wembed.cpp:162-177)."""
@@ -204,8 +215,34 @@ class Embedder:
 
 
 def createEmbedder(graph: Graph, options: Options) -> Embedder:
-    """(reference src/wembed.cpp:162-188)"""
+    """(reference src/wembed.cpp:162-188; distributed modes are TPU-native
+    extensions selecting the sharded backends)"""
     opts = _translate_options(options)
+    if options.distributedMode not in ("none", "replicated", "halo"):
+        raise ValueError(
+            f"unknown distributedMode {options.distributedMode!r} "
+            "(expected 'none', 'replicated', or 'halo')"
+        )
+    if options.distributedMode != "none":
+        from .distributed.mesh import init_distributed, make_mesh
+
+        if options.layeredEmbedding:
+            raise ValueError(
+                "layeredEmbedding with a distributed backend is not yet "
+                "supported — run the layered embedder single-device"
+            )
+        if options.multiHost:
+            init_distributed()
+        mesh = make_mesh(
+            None if options.numDevices < 0 else options.numDevices
+        )
+        if options.distributedMode == "halo":
+            from .distributed.halo import HaloEmbedder
+
+            return Embedder(HaloEmbedder(graph.csr, opts, mesh=mesh, verbose=False))
+        from .distributed.step import MultiChipEmbedder
+
+        return Embedder(MultiChipEmbedder(graph.csr, opts, mesh=mesh, verbose=False))
     if options.layeredEmbedding:
         return Embedder(LayeredEmbedder(graph.csr, opts, verbose=False))
     return Embedder(WEmbedEmbedder(graph.csr, opts, verbose=False))

@@ -57,6 +57,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Cooling during gradient descent")
     p.add_argument("--speed", type=float, default=10.0,
                    help="Learning rate of the embedding process")
+    p.add_argument("--distributed", choices=["replicated", "halo"], default="",
+                   help="Multi-device execution over a jax.sharding.Mesh: "
+                   "'replicated' (replicated state, work-partitioned forces) "
+                   "or 'halo' (vertex-sharded state, O(n/P) memory/device). "
+                   "TPU-native extension; the reference is single-process.")
+    p.add_argument("--num-devices", type=int, default=-1,
+                   help="Devices in the mesh (-1: all visible)")
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize jax.distributed first (multi-host slice; "
+                   "configure via WEMBED_COORDINATOR / WEMBED_NUM_PROCESSES / "
+                   "WEMBED_PROCESS_ID or rely on TPU pod auto-detection)")
     return p
 
 
@@ -81,6 +92,9 @@ def main(argv=None) -> int:
         learningRate=args.speed,
         maxIterations=args.iterations,
         positionMinChange=args.min_change,
+        distributedMode=args.distributed or "none",
+        numDevices=args.num_devices,
+        multiHost=args.multihost,
     )
     embedder = wembed.createEmbedder(graph, opts)
     if args.profile_timings:
