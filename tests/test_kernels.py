@@ -196,10 +196,10 @@ def test_span_embedder_matches_jnp_bucket():
     for it in range(3):
         emb_j.calculate_step()
         pos = jnp.asarray(emb_j.state.positions, jnp.float32)
-        f_s, loss_s, _, ovf_s, zc_s = span_mod.span_repulsion_forces(
+        f_s, loss_s, cnt_s, ovf_s, zc_s = span_mod.span_repulsion_forces(
             pos, invw, wj, dg.colors, emb_s._index, opts_s, interpret=True
         )
-        f_j, loss_j, _, ovf_j, zc_j = cand_mod.bucket_repulsion_forces(
+        f_j, loss_j, cnt_j, ovf_j, zc_j = cand_mod.bucket_repulsion_forces(
             pos, invw, wj, dg, emb_j._index, opts_j, jax.random.PRNGKey(it)
         )
         assert int(ovf_s) == 0 and int(ovf_j) == 0
@@ -209,6 +209,9 @@ def test_span_embedder_matches_jnp_bucket():
         )
         np.testing.assert_allclose(float(loss_s), float(loss_j), rtol=2e-4)
         assert bool(jnp.all(zc_s == zc_j))
+        # counter parity (VERDICT r2 item 9): the span count channel uses
+        # per-class radii, so it must EQUAL the jnp bucket path's count
+        assert int(cnt_s) == int(cnt_j)
 
 
 def test_span_overflow_grows_and_recovers():

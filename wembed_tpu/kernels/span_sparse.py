@@ -144,6 +144,11 @@ class SpanIndex:
     t_table: np.ndarray  # (B, B) span tiles per (query group, target group)
     # per-vertex static
     group_of: np.ndarray  # (n,) int32
+    class_bm2: np.ndarray  # (n,) f32: per-DOUBLING-CLASS max^(2/d) — the
+    # reference's candidate radius factor (WeightedIndex.cpp:65-81); used
+    # for the kernel's count/radius channel so num_rep_forces matches the
+    # per-class counts of the reference/jnp paths (group merging only
+    # affects window COVERAGE, not the counted candidate set)
     # sorted-order static offset vectors (n,)
     sorted_moff: np.ndarray  # m_off of the group of sorted position j
     sorted_shift_pad: np.ndarray  # pad_off - m_off per sorted position
@@ -338,6 +343,7 @@ class SpanIndex:
         group_of = np.asarray(
             [remap[class_group[c]] for c in assignment], np.int32
         )
+        class_bm2 = (class_max[assignment] ** (2.0 / d)).astype(np.float32)
 
         group_moff = np.concatenate([[0], np.cumsum(group_sizes)[:-1]])
         group_tiles = np.maximum(1, -(-group_sizes // _ST))
@@ -425,6 +431,7 @@ class SpanIndex:
             bmaxpow=bmaxpow,
             t_table=t_table,
             group_of=group_of,
+            class_bm2=class_bm2,
             sorted_moff=sorted_moff,
             sorted_shift_pad=sorted_shift_pad,
             sorted_shift_q=sorted_shift_q,
@@ -440,7 +447,9 @@ class SpanIndex:
             edge_mask=emask,
             edge_dst_group=eg.astype(np.int32),
             edge_cov_len=cov_len,
-            edge_bmaxpow=bmaxpow[eg].astype(np.float32),
+            # correction radius factor: per-CLASS max of the dst, matching
+            # the kernel's count channel (reference WeightedIndex.cpp:65-81)
+            edge_bmaxpow=np.sqrt(class_bm2[edst_p]).astype(np.float32),
             span_scale=float(span_scale),
         )
 
@@ -543,12 +552,14 @@ def build_span_structures(
         src_of_q[qo : qo + sz] = np.arange(o, o + sz)
 
     # ---- span-side padded rows (C, NPA):
-    # [pos(d), invw, bmax^2 (static), ones, rawexp] — bmax SQUARED so the
-    # kernel's radius test is one multiply; the ones row turns the MXU
-    # reduction dot into the rowsum; rawexp = 1/invw so L/ws is a product.
-    # bm2 is static per SORTED slot (group-major order), so it rides the
-    # same gather as the dynamic channels.
-    sorted_bm2 = np.repeat(idx.bmaxpow**2, idx.group_sizes).astype(np.float32)
+    # [pos(d), invw, classmax^(2/d), ones, rawexp] — the radius factor
+    # SQUARED so the kernel's radius test is one multiply; the ones row
+    # turns the MXU reduction dot into the rowsum; rawexp = 1/invw so
+    # L/ws is a product.  The radius channel carries each member's
+    # per-DOUBLING-CLASS max (not the merged group's), so the counted
+    # candidate set matches the reference's per-class radius queries
+    # (WeightedIndex.cpp:65-81); it rides the same dynamic gather as the
+    # positions (class membership is static per vertex, not per slot).
     sent_s = np.zeros((1, c), np.float32)
     sent_s[0, :d] = _S_SENTINEL
     sent_s[0, d] = 1.0
@@ -556,7 +567,7 @@ def build_span_structures(
         [
             pos_s,
             invw_s[:, None],
-            jnp.asarray(sorted_bm2)[:, None],
+            jnp.asarray(idx.class_bm2)[order][:, None],
             jnp.ones((n, 1), f32),
             (1.0 / invw_s)[:, None],
             jnp.zeros((n, c - (d + 4)), f32),
@@ -1146,10 +1157,11 @@ def span_repulsion_forces(
     zero_count (n,)) with the same contract as
     ``candidates.bucket_repulsion_forces`` (the jnp path): the caller
     applies coincident-point kicks from ``zero_count``; ``overflow``
-    counts true in-radius candidates beyond the tile windows.  Candidate
-    radii use the MERGED group's max weight, so ``num_rep_candidates``
-    can exceed the per-class counts of the reference/jnp paths; forces
-    are unaffected (the active condition implies the candidate radius).
+    counts true in-radius candidates beyond the tile windows.  The
+    count channel uses each member's per-DOUBLING-CLASS max radius, so
+    ``num_rep_candidates`` matches the reference's/jnp path's per-class
+    counts exactly when no window truncates (group merging only widens
+    window COVERAGE; forces are radius-independent either way).
 
     With ``shard=(axis_name, P)`` (inside shard_map; positions/weights
     replicated) all returns are per-device partials for the caller's
