@@ -444,3 +444,38 @@ def test_multihost_two_process_smoke():
         if line.startswith("CHECKSUM")
     ]
     assert len(sums) == 2 and sums[0] == sums[1], outs
+
+
+def test_halo_edge_tables_sharded_memory():
+    """Memory-scalable repulsion (VERDICT r2 item 4, edge axis): the
+    O(E) correction-edge tables live as (P, E_dev) row-sharded arrays —
+    each device's addressable slice holds E_dev ~ E/P rows, not E."""
+    from wembed_tpu.distributed.halo import HaloEmbedder
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    rng = np.random.default_rng(5)
+    g, _ = generators.geometric_graph(600, rng=rng)
+    n, d = g.num_vertices, 2
+    opts = EmbedderOptions(
+        embedding_dimension=d, dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET, fused_span="interpret",
+        max_iterations=5, position_min_change=0.0,
+    )
+    coords = rng.uniform(0, n ** (1 / d), size=(n, d))
+    w = weights_mod.initial_weights(g, opts)
+    mesh = make_mesh(8)
+    halo = HaloEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    assert isinstance(halo._index, span_mod.SpanIndex)
+    assert halo._echunk is not None
+    e_full = halo._index.edge_src.shape[0]
+    e_dev = -(-e_full // 8)
+    for arr in halo._echunk:
+        assert arr.shape == (8, e_dev)
+        for s in arr.addressable_shards:
+            assert s.data.shape[0] == 1  # one E_dev row-slice per device
+    # and the step still runs correctly on the sharded tables
+    halo.calculate_step()
+    assert np.isfinite(halo.get_coordinates()).all()

@@ -291,8 +291,10 @@ def test_span_fused_forces_matches_separate_passes():
     )
     ref = np.asarray(f_r + f_a)
     scale = np.abs(ref).max() + 1e-30
+    # the merged pass reduces edges by cumsum + CSR boundary diff while
+    # attraction_forces scatters — f32 summation-order noise only
     np.testing.assert_allclose(
-        np.asarray(f_m) / scale, ref / scale, atol=5e-6
+        np.asarray(f_m) / scale, ref / scale, atol=5e-5
     )
     np.testing.assert_allclose(float(att_m), float(loss_a), rtol=1e-6)
     np.testing.assert_allclose(float(rep_m), float(loss_r), rtol=1e-5)
@@ -326,3 +328,24 @@ def test_shrunk_pairs_report_no_phantom_overflow():
             need_pair[qg] = rows.max(axis=0)
     assert (grown.t_table[need_pair == 0] == 0).all()
     assert (grown.t_table[need_pair > 0] > 0).all()
+
+def test_measure_needs_host_matches_device():
+    """The numpy needs measurement (presize/growth protocol) must agree
+    with the device structures build: identical needs and overflow given
+    the same projection axis semantics."""
+    import jax.numpy as jnp
+
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, opts, w, inv_w, pos, idx, dg = _span_setup(3000, 2, False, 4.0, seed=5)
+    s = span_mod.build_span_structures(pos, inv_w, w, dg.colors, idx, opts)
+    need_dev = np.asarray(s.need)
+    need_host, ovf_host = span_mod.measure_needs_host(
+        np.asarray(pos), np.asarray(w), idx, opts
+    )
+    # axes come from independent power iterations (f32 device vs f64
+    # host), so window boundaries can differ by a few members
+    assert np.abs(need_host - need_dev).max() <= max(
+        3, int(0.02 * need_dev.max())
+    )
+    assert abs(ovf_host - int(s.overflow)) <= 0.05 * max(int(s.overflow), 50)

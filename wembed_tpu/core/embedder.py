@@ -101,27 +101,26 @@ class WEmbedEmbedder:
         if not isinstance(self._index, span_mod.SpanIndex):
             return
         grew = False
-        structures = None
+        needs = None
+        # needs are measured on HOST (numpy mirror of the device
+        # searchsorted logic) — the eager device version cost ~80s of
+        # one-time remote compiles per source revision at 100K vertices
+        pos_np = np.asarray(self._state.positions, np.float64)
         for _ in range(3):
-            structures = span_mod.build_span_structures(
-                self._state.positions.astype(jnp.float32),
-                jnp.asarray(self._inv_w, jnp.float32),
-                jnp.asarray(self._weights, jnp.float32),
-                self._dg.colors,
-                self._index,
-                self.opts,
+            needs, overflow = span_mod.measure_needs_host(
+                pos_np, self._weights_np, self._index, self.opts
             )
-            if int(structures.overflow) == 0:
+            if overflow == 0:
                 break
-            grown = self._index.grow_from_needs(np.asarray(structures.need))
+            grown = self._index.grow_from_needs(needs)
             if grown is None:
                 break
             self._index = grown
             grew = True
-        if structures is not None:
+        if needs is not None:
             # drop the 1-tile floor for pairs with no members in range —
             # a large share of the static work list on clustered graphs
-            shrunk = self._index.shrink_empty(np.asarray(structures.need))
+            shrunk = self._index.shrink_empty(needs)
             if shrunk is not None:
                 self._index = shrunk
                 grew = True
@@ -195,18 +194,16 @@ class WEmbedEmbedder:
             if not self._index.can_grow():
                 return False  # windows already cover every group entirely
             # adaptive growth: measure the CURRENT positions' per-pair
-            # window needs (one structures build, host round-trip) and
+            # window needs (host numpy, one device->host transfer) and
             # widen exactly the starved windows — one rebuild instead of
             # O(log) blind doublings
-            structures = span_mod.build_span_structures(
-                self._state.positions.astype(jnp.float32),
-                jnp.asarray(self._inv_w, jnp.float32),
-                jnp.asarray(self._weights, jnp.float32),
-                self._dg.colors,
+            needs, _ = span_mod.measure_needs_host(
+                np.asarray(self._state.positions, np.float64),
+                self._weights_np,
                 self._index,
                 self.opts,
             )
-            grown = self._index.grow_from_needs(np.asarray(structures.need))
+            grown = self._index.grow_from_needs(needs)
             if grown is None:
                 return False
             self._span_scale *= 2.0  # bookkeeping only: caps total growth

@@ -203,11 +203,15 @@ def build_halo_step(
          plan.edge_mask, plan.send_idx),
     )
 
-    def halo_step(state, weights, inv_w, tables, esrc_l, edst_ext, edst_g, emask, send_idx):
+    def halo_step(state, weights, inv_w, tables, echunk, esrc_l, edst_ext, edst_g, emask, send_idx):
         """Runs per device inside shard_map.  state arrays are the LOCAL
-        row slices (R, ...); weights/inv_w/tables are replicated."""
+        row slices (R, ...); weights/inv_w/tables are replicated;
+        ``echunk`` (span path) is this device's O(E/P) slice of the
+        correction-edge tables."""
         esrc_l, edst_ext, edst_g = esrc_l[0], edst_ext[0], edst_g[0]
         emask, send_idx = emask[0], send_idx[0]
+        if echunk is not None:
+            echunk = span_mod.EdgeChunk(*(a[0] for a in echunk))
         p = lax.axis_index(axis_name)
         pos_l = state.positions  # (R, d)
         dtype = pos_l.dtype
@@ -281,7 +285,8 @@ def build_halo_step(
         elif span_mode is not None:
             # every device builds the IDENTICAL sorted structures from the
             # replicated gathered positions, then sweeps its chunk of the
-            # work-tile list (span_sparse._shard_work_tiles)
+            # work-tile list (span_sparse._shard_work_tiles); the O(E)
+            # correction tables arrive pre-sharded (O(E/P) per device)
             rep_force, rep_loss, rep_count, overflow, zero_n = (
                 span_mod.span_repulsion_forces(
                     pos_full.astype(jnp.float32),
@@ -293,6 +298,7 @@ def build_halo_step(
                     interpret=(span_mode == "interpret"),
                     tables=tables,
                     shard=(axis_name, Pn),
+                    edge_chunk=echunk,
                 )
             )
             rep_force = rep_force.astype(dtype)
@@ -363,13 +369,14 @@ def build_halo_step(
     sharded = shard_map(
         halo_step,
         mesh=mesh,
-        in_specs=(state_specs, P(), P(), P()) + (P(axis_name),) * 5,
+        in_specs=(state_specs, P(), P(), P(), P(axis_name))
+        + (P(axis_name),) * 5,
         out_specs=state_specs,
         check_vma=False,
     )
 
-    def step(state, weights, inv_w, tables=None):
-        return sharded(state, weights, inv_w, tables, *plan_dev)
+    def step(state, weights, inv_w, tables=None, echunk=None):
+        return sharded(state, weights, inv_w, tables, echunk, *plan_dev)
 
     jitted = jax.jit(step)
 
@@ -395,6 +402,7 @@ def build_halo_step(
         )
 
     step.sharded = sharded  # raw shard_map step for the while-loop driver
+    jitted.row_sharding = row_sharding  # for (re)building sharded echunks
     return jitted, plan, dg, index, shard_state
 
 
@@ -408,6 +416,7 @@ def halo_run_embedding(
     position_min_change,
     stop_on_overflow=False,
     tables=None,
+    echunk=None,
 ):
     """Full vertex-sharded calculateEmbedding as one device-side while-loop.
 
@@ -423,7 +432,9 @@ def halo_run_embedding(
             & (~stop_on_overflow | (s.overflow == 0))
         )
 
-    return lax.while_loop(cond, lambda s: step(s, weights, inv_w, tables), state)
+    return lax.while_loop(
+        cond, lambda s: step(s, weights, inv_w, tables, echunk), state
+    )
 
 
 class HaloEmbedder:
@@ -472,6 +483,7 @@ class HaloEmbedder:
             if isinstance(self._index, span_mod.SpanIndex)
             else None
         )
+        self._echunk = self._build_echunk()
         self._state = self._shard_state(
             init_state(
                 np.asarray(initial_coordinates, dtype=np.float64),
@@ -481,16 +493,26 @@ class HaloEmbedder:
         )
         self._presize_spans()
 
+    def _build_echunk(self):
+        """Device-put the sharded (P, E_dev) correction-edge tables —
+        O(E/P) live bytes per device (the memory-scalable configuration;
+        rebuilt on span growth because cov_len changes)."""
+        if not isinstance(self._index, span_mod.SpanIndex):
+            return None
+        chunks = span_mod.build_edge_chunks(
+            self._index, self.mesh.devices.size
+        )
+        rs = self._step.row_sharding
+        return span_mod.EdgeChunk(
+            *(jax.device_put(jnp.asarray(a), rs) for a in chunks)
+        )
+
     # ---------------------------------------------------------- span growth
-    def _span_structures(self):
-        pos = jnp.asarray(self.get_coordinates(), jnp.float32)
-        return span_mod.build_span_structures(
-            pos,
-            jnp.asarray(self._inv_w, jnp.float32),
-            jnp.asarray(self._weights, jnp.float32),
-            self._dg.colors,
-            self._index,
-            self.opts,
+    def _measure_needs(self):
+        """Host-side window needs at the current positions (numpy mirror
+        of the device searchsorted logic — zero device compiles)."""
+        return span_mod.measure_needs_host(
+            self.get_coordinates(), self._weights_np, self._index, self.opts
         )
 
     def _swap_index(self, new_index) -> None:
@@ -504,21 +526,23 @@ class HaloEmbedder:
                     index=new_index,
                 )
             )
+        # cov_len changed with the window table: refresh the sharded slices
+        self._echunk = self._build_echunk()
 
     def _presize_spans(self) -> None:
         if not isinstance(self._index, span_mod.SpanIndex):
             return
-        structures = None
+        needs = None
         for _ in range(3):
-            structures = self._span_structures()
-            if int(structures.overflow) == 0:
+            needs, overflow = self._measure_needs()
+            if overflow == 0:
                 break
-            grown = self._index.grow_from_needs(np.asarray(structures.need))
+            grown = self._index.grow_from_needs(needs)
             if grown is None:
                 break
             self._swap_index(grown)
-        if structures is not None:
-            shrunk = self._index.shrink_empty(np.asarray(structures.need))
+        if needs is not None:
+            shrunk = self._index.shrink_empty(needs)
             if shrunk is not None:
                 self._swap_index(shrunk)
 
@@ -527,8 +551,7 @@ class HaloEmbedder:
             return False
         if self._span_scale >= 1024 or not self._index.can_grow():
             return False
-        structures = self._span_structures()
-        grown = self._index.grow_from_needs(np.asarray(structures.need))
+        grown = self._index.grow_from_needs(self._measure_needs()[0])
         if grown is None:
             return False
         self._span_scale *= 2.0
@@ -563,7 +586,8 @@ class HaloEmbedder:
     def calculate_step(self) -> None:
         with self.timer.phase("step", "Embedding step"):
             self._state = self._step(
-                self._state, self._weights, self._inv_w, self._tables
+                self._state, self._weights, self._inv_w, self._tables,
+                self._echunk,
             )
             self._state.positions.block_until_ready()
         if int(self._state.overflow) > 0 and self._grow_spans():
@@ -592,7 +616,7 @@ class HaloEmbedder:
                 self._state = halo_run_embedding(
                     self._step, self._state, self._weights, self._inv_w,
                     cap, self.opts.position_min_change,
-                    stop_on_overflow, self._tables,
+                    stop_on_overflow, self._tables, self._echunk,
                 )
                 self._state.positions.block_until_ready()
                 if int(self._state.iteration) >= cap:
@@ -663,6 +687,7 @@ class HaloEmbedder:
             if isinstance(self._index, span_mod.SpanIndex)
             else None
         )
+        self._echunk = self._build_echunk()
         self._presize_spans()
 
     def get_timings(self) -> list[TimingResult]:

@@ -193,12 +193,12 @@ class MultiChipEmbedder:
         self._presize_spans()
 
     # ---------------------------------------------------------- span growth
-    def _span_structures(self):
-        return span_mod.build_span_structures(
-            self._state.positions.astype(jnp.float32),
-            jnp.asarray(self._inv_w, jnp.float32),
-            jnp.asarray(self._weights, jnp.float32),
-            self._dg.colors,
+    def _measure_needs(self):
+        """Host-side window needs at the current positions (numpy mirror
+        of the device searchsorted logic — zero device compiles)."""
+        return span_mod.measure_needs_host(
+            np.asarray(self._state.positions, np.float64),
+            self._weights_np,
             self._index,
             self.opts,
         )
@@ -220,17 +220,17 @@ class MultiChipEmbedder:
         (same protocol as WEmbedEmbedder._presize_spans)."""
         if not isinstance(self._index, span_mod.SpanIndex):
             return
-        structures = None
+        needs = None
         for _ in range(3):
-            structures = self._span_structures()
-            if int(structures.overflow) == 0:
+            needs, overflow = self._measure_needs()
+            if overflow == 0:
                 break
-            grown = self._index.grow_from_needs(np.asarray(structures.need))
+            grown = self._index.grow_from_needs(needs)
             if grown is None:
                 break
             self._swap_index(grown)
-        if structures is not None:
-            shrunk = self._index.shrink_empty(np.asarray(structures.need))
+        if needs is not None:
+            shrunk = self._index.shrink_empty(needs)
             if shrunk is not None:
                 self._swap_index(shrunk)
 
@@ -239,8 +239,7 @@ class MultiChipEmbedder:
             return False
         if self._span_scale >= 1024 or not self._index.can_grow():
             return False
-        structures = self._span_structures()
-        grown = self._index.grow_from_needs(np.asarray(structures.need))
+        grown = self._index.grow_from_needs(self._measure_needs()[0])
         if grown is None:
             return False
         self._span_scale *= 2.0

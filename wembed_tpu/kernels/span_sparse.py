@@ -84,11 +84,16 @@ def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None):
     tile counts — the flattened pallas grid order (block-major so output
     blocks are revisited on consecutive grid steps).
 
-    The list is PADDED to a bucketed length (1.25x headroom rounded to
+    The list is PADDED to a bucketed length (1.6x headroom rounded to
     512): the pallas grid size is a compile-time shape, but the table
     VALUES are traced kernel inputs, so window growth that stays within
     the bucket swaps tables without any recompile.  Padding tiles carry
-    qblk == nb (the dummy output block) and are skipped by the kernel."""
+    qblk == nb (the dummy output block) and are skipped by the kernel;
+    consecutive padding tiles revisit the same input/output blocks, so
+    they cost no extra DMA either.  The headroom is sized for the
+    mid-run candidate bulge (positions contract before spreading, and
+    windows grow to cover it): a bucket crossing there recompiles the
+    step, which dwarfs the padding cost."""
     tile_off = np.asarray(group_pad_off) // _ST
     wt_qblk, wt_pair, wt_off, wt_first = [], [], [], []
     for i in range(nb):
@@ -104,7 +109,7 @@ def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None):
     if pad_to is not None and w <= pad_to:
         w_pad = pad_to  # fits the existing bucket: keep shapes identical
     else:
-        w_pad = max(512, _round_up(int(np.ceil(w * 1.25)), 512))
+        w_pad = max(512, _round_up(int(np.ceil(w * 1.6)), 512))
     pad = w_pad - w
     wt_qblk += [nb] * pad
     wt_pair += [0] * pad
@@ -169,7 +174,8 @@ class SpanIndex:
     edge_mask: np.ndarray
     edge_dst_group: np.ndarray
     edge_cov_len: np.ndarray  # T[group(src), group(dst)] * _ST, static
-    edge_bmaxpow: np.ndarray  # bmaxpow[group(dst)], static
+    edge_bmaxpow: np.ndarray  # per-class max^(1/d) of dst, static
+    edge_row_ptr: np.ndarray  # (n+1,) CSR offsets into the padded edges
     span_scale: float
 
     @property
@@ -450,8 +456,86 @@ class SpanIndex:
             # correction radius factor: per-CLASS max of the dst, matching
             # the kernel's count channel (reference WeightedIndex.cpp:65-81)
             edge_bmaxpow=np.sqrt(class_bm2[edst_p]).astype(np.float32),
+            edge_row_ptr=np.searchsorted(esrc_p, np.arange(n + 1)).astype(
+                np.int32
+            ),
             span_scale=float(span_scale),
         )
+
+
+def measure_needs_host(
+    positions: np.ndarray, weights: np.ndarray, idx: SpanIndex, opts
+) -> tuple[np.ndarray, int]:
+    """Host-side (numpy) window-need measurement: the (NB, B) searchsorted
+    member counts and total overflow that ``build_span_structures`` would
+    report for these positions, WITHOUT touching the device.
+
+    Used by the presize/growth protocols, which run on host-resident
+    positions anyway — the eager device version cost ~80s of one-time
+    remote compiles per source revision (the dominant embedder-build
+    cost at 100K vertices) for what is an O(n log n) numpy job.  The
+    projection axis is an independent power iteration, so needs can
+    differ from the device's by a handful of members near window edges;
+    the growth headroom absorbs this, and the in-step overflow counter
+    remains the ground truth."""
+    n, d = positions.shape
+    pos = np.asarray(positions, np.float64)
+    w = np.asarray(weights, np.float64)
+    L = float(opts.edge_length)
+    b, nb = idx.num_groups, idx.nb
+
+    centered = pos - pos.mean(axis=0)
+    cov = centered.T @ centered
+    v = np.full((d,), 1.0) + np.arange(d) * 1e-3
+    v /= np.linalg.norm(v)
+    for _ in range(12):
+        v2 = cov @ v
+        v = v2 / max(np.linalg.norm(v2), 1e-30)
+    proj = centered @ v
+
+    group = idx.group_of
+    order = np.lexsort((proj, group))
+    proj_s = proj[order]
+    lw_s = (L * np.power(w, 1.0 / d))[order]
+
+    # per-block projection extrema and max lw (blocks are contiguous _Q
+    # chunks of each group's sorted members — same layout as the kernel)
+    minproj = np.empty(nb)
+    maxproj = np.empty(nb)
+    maxlw = np.empty(nb)
+    bi = 0
+    for g in range(b):
+        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
+        for li in range(_cdiv(sz, _Q)):
+            lo_i = o + li * _Q
+            hi_i = o + min((li + 1) * _Q, sz)
+            minproj[bi] = proj_s[lo_i]
+            maxproj[bi] = proj_s[hi_i - 1]
+            maxlw[bi] = lw_s[lo_i:hi_i].max()
+            bi += 1
+    assert bi == nb
+
+    lo = minproj[:, None] - maxlw[:, None] * idx.bmaxpow[None, :]
+    hi = maxproj[:, None] + maxlw[:, None] * idx.bmaxpow[None, :]
+    start = np.empty((nb, b), np.int64)
+    stop = np.empty((nb, b), np.int64)
+    for g in range(b):
+        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
+        seg = proj_s[o : o + sz]
+        start[:, g] = np.searchsorted(seg, lo[:, g], side="left")
+        stop[:, g] = np.searchsorted(seg, hi[:, g], side="right")
+    need = stop - start
+
+    t_blk = idx.blk_t.astype(np.int64)
+    tiles = idx.group_tiles[None, :].astype(np.int64)
+    start_tile = np.clip(
+        np.minimum(-(-stop // _ST) - t_blk, start // _ST), 0, tiles - t_blk
+    )
+    cov_end = (start_tile + t_blk) * _ST
+    overflow = int(
+        np.maximum(np.minimum(stop - cov_end, stop - start), 0).sum()
+    )
+    return need.astype(np.int64), overflow
 
 
 # ----------------------------------------------------- per-step structures
@@ -467,6 +551,50 @@ class SpanTables(NamedTuple):
     wt_first: jax.Array  # (W_pad,) i32
     blk_t: jax.Array  # (NB, B) i32
     edge_cov_len: jax.Array  # (E,) i32
+
+
+class EdgeChunk(NamedTuple):
+    """One device's slice of the directed correction-edge tables — the
+    memory-scalable alternative to baking the full O(E) tables into every
+    device's program.  Built host-side by ``build_edge_chunks`` as
+    (P, E_dev) stacked arrays, device_put with row sharding, and unwrapped
+    to (E_dev,) slices inside shard_map.  ``cov_len`` is the only member
+    that changes under same-bucket span growth (traced swap); the rest
+    are static."""
+
+    src: jax.Array  # (E_dev,) i32
+    dst: jax.Array  # (E_dev,) i32
+    mask: jax.Array  # (E_dev,) bool
+    dst_group: jax.Array  # (E_dev,) i32
+    bmaxpow: jax.Array  # (E_dev,) f32
+    cov_len: jax.Array  # (E_dev,) i32
+
+
+def build_edge_chunks(idx: SpanIndex, num_shards: int):
+    """(P, E_dev) stacked numpy edge tables for sharded device_put —
+    chunk p covers global edge rows [p*E_dev, (p+1)*E_dev), tail-padded
+    by repeating the last edge row masked out (keeps chunks src-sorted,
+    mirroring the in-trace slicing path)."""
+    e_full = int(idx.edge_src.shape[0])
+    e_dev = -(-e_full // num_shards)
+
+    def stack(a):
+        a = np.asarray(a)
+        pad = num_shards * e_dev - e_full
+        tail = np.repeat(a[-1:], pad, axis=0)
+        return np.concatenate([a, tail]).reshape(num_shards, e_dev)
+
+    mask = np.concatenate(
+        [idx.edge_mask, np.zeros(num_shards * e_dev - e_full, bool)]
+    ).reshape(num_shards, e_dev)
+    return EdgeChunk(
+        src=stack(idx.edge_src),
+        dst=stack(idx.edge_dst),
+        mask=mask,
+        dst_group=stack(idx.edge_dst_group),
+        bmaxpow=stack(idx.edge_bmaxpow),
+        cov_len=stack(idx.edge_cov_len),
+    )
 
 
 class SpanStructures(NamedTuple):
@@ -927,6 +1055,32 @@ def span_query(
     )
 
 
+def _csr_segment_sum(values, row_ptr, offset=None, length=None):
+    """Segment sum of src-sorted edge rows via cumsum + boundary diff.
+
+    XLA-TPU scatter (what segment_sum lowers to) serializes; the log-depth
+    prefix sum streams at HBM speed instead.  ``values`` are the rows for
+    global edge positions [offset, offset+K) (offset may be traced — the
+    sharded chunk case); ``row_ptr`` is the (n+1,) CSR boundary array.
+    Integer inputs are exact; float inputs carry O(eps * |prefix|) error
+    from the parallel prefix, comparable to the f32 accumulation noise of
+    any other summation order."""
+    k = values.shape[0]
+    cz = jnp.concatenate(
+        [
+            jnp.zeros((1,) + values.shape[1:], values.dtype),
+            jnp.cumsum(values, axis=0),
+        ]
+    )
+    if offset is None:
+        lo = jnp.clip(row_ptr[:-1], 0, k)
+        hi = jnp.clip(row_ptr[1:], 0, k)
+    else:
+        lo = jnp.clip(row_ptr[:-1] - offset, 0, k)
+        hi = jnp.clip(row_ptr[1:] - offset, 0, k)
+    return cz[hi] - cz[lo]
+
+
 # ------------------------------------------------------------ full wrapper
 
 
@@ -1033,12 +1187,14 @@ def span_fused_forces(
     e_full = int(esrc.shape[0])
     kick_shape = e_full
     e_sel = None
+    e_off = None
     overflow = structures.overflow
     if shard is not None:
         axis_name, num_shards = shard
         e_dev = -(-e_full // num_shards)
         sidx = lax.axis_index(axis_name)
-        offs = sidx * e_dev + jnp.arange(e_dev, dtype=jnp.int32)
+        e_off = sidx * e_dev
+        offs = e_off + jnp.arange(e_dev, dtype=jnp.int32)
         in_range = offs < e_full
         e_sel = jnp.minimum(offs, e_full - 1)
         # clamped tail repeats the LAST edge (src = n-1, the sorted max),
@@ -1050,6 +1206,7 @@ def span_fused_forces(
         edge_bmaxpow = edge_bmaxpow[e_sel]
         edge_cov_len = edge_cov_len[e_sel]
         overflow = jnp.where(sidx == 0, overflow, 0)
+    row_ptr = jnp.asarray(idx.edge_row_ptr)
     b = idx.num_groups
 
     pos32 = positions.astype(f32)
@@ -1110,19 +1267,16 @@ def span_fused_forces(
         return jnp.where(zero_e[:, None], kicks, f)
 
     net_e = lax.cond(jnp.any(zero_e), with_kicks, lambda f: f, net_e)
-    force_e = jax.ops.segment_sum(
-        net_e, esrc, num_segments=n, indices_are_sorted=True
-    )
+    # src-sorted edges: cumsum + CSR boundary diff instead of the scatter
+    # that segment_sum lowers to (XLA-TPU scatter serializes per row)
+    force_e = _csr_segment_sum(net_e, row_ptr, e_off)
     # coincident neighbor pairs are measure-zero configurations: pay the
-    # int32 segment_sum (a full scatter pass over E) only when one exists
+    # extra cumsum pass over E only when one exists
     corr_zero_mask = included & ~posd
 
     def subtract_zero_corr(zc):
-        return zc - jax.ops.segment_sum(
-            corr_zero_mask.astype(jnp.int32),
-            esrc,
-            num_segments=n,
-            indices_are_sorted=True,
+        return zc - _csr_segment_sum(
+            corr_zero_mask.astype(jnp.int32), row_ptr, e_off
         )
 
     zero_count = lax.cond(
@@ -1150,6 +1304,7 @@ def span_repulsion_forces(
     structures: SpanStructures | None = None,
     tables: "SpanTables | None" = None,
     shard: tuple[str, int] | None = None,
+    edge_chunk: "EdgeChunk | None" = None,
 ):
     """Sparse repulsion via the fused span kernel + O(E) edge correction.
 
@@ -1166,7 +1321,11 @@ def span_repulsion_forces(
     With ``shard=(axis_name, P)`` (inside shard_map; positions/weights
     replicated) all returns are per-device partials for the caller's
     psum — work-tile chunks for the kernel, edge ranges for the
-    correction, overflow reported by device 0 only.
+    correction, overflow reported by device 0 only.  By default each
+    device slices its edge range out of the full (replicated-constant)
+    tables; pass ``edge_chunk`` (pre-sharded per-device slices, see
+    ``EdgeChunk``/``build_edge_chunks``) to keep per-device edge memory
+    at O(E/P) — the memory-scalable halo configuration.
     """
     n, d = positions.shape
     dtype = positions.dtype
@@ -1188,28 +1347,44 @@ def span_repulsion_forces(
     # mirrors the kernel exactly: same radius product form, same covered
     # tile windows; the force is removed in the kernel's own algebraic
     # form (q*rowsum_corr - acc_corr).
-    esrc = jnp.asarray(idx.edge_src)
-    edst = jnp.asarray(idx.edge_dst)
-    emask = jnp.asarray(idx.edge_mask)
-    eg = jnp.asarray(idx.edge_dst_group)
-    edge_bmaxpow = jnp.asarray(idx.edge_bmaxpow)
-    edge_cov_len = tables.edge_cov_len
     overflow = structures.overflow
-    if shard is not None:
-        axis_name, num_shards = shard
-        e_full = int(esrc.shape[0])
-        e_dev = -(-e_full // num_shards)
+    if edge_chunk is not None:
+        assert shard is not None, "edge_chunk requires shard"
+        axis_name, _ = shard
         sidx = lax.axis_index(axis_name)
-        offs = sidx * e_dev + jnp.arange(e_dev, dtype=jnp.int32)
-        in_range = offs < e_full
-        e_sel = jnp.minimum(offs, e_full - 1)
-        esrc = esrc[e_sel]
-        edst = edst[e_sel]
-        emask = emask[e_sel] & in_range
-        eg = eg[e_sel]
-        edge_bmaxpow = edge_bmaxpow[e_sel]
-        edge_cov_len = edge_cov_len[e_sel]
+        esrc = edge_chunk.src
+        edst = edge_chunk.dst
+        emask = edge_chunk.mask
+        eg = edge_chunk.dst_group
+        edge_bmaxpow = edge_chunk.bmaxpow
+        edge_cov_len = edge_chunk.cov_len
+        e_off = sidx * esrc.shape[0]
         overflow = jnp.where(sidx == 0, overflow, 0)
+    else:
+        esrc = jnp.asarray(idx.edge_src)
+        edst = jnp.asarray(idx.edge_dst)
+        emask = jnp.asarray(idx.edge_mask)
+        eg = jnp.asarray(idx.edge_dst_group)
+        edge_bmaxpow = jnp.asarray(idx.edge_bmaxpow)
+        edge_cov_len = tables.edge_cov_len
+        e_off = None
+        if shard is not None:
+            axis_name, num_shards = shard
+            e_full = int(esrc.shape[0])
+            e_dev = -(-e_full // num_shards)
+            sidx = lax.axis_index(axis_name)
+            e_off = sidx * e_dev
+            offs = e_off + jnp.arange(e_dev, dtype=jnp.int32)
+            in_range = offs < e_full
+            e_sel = jnp.minimum(offs, e_full - 1)
+            esrc = esrc[e_sel]
+            edst = edst[e_sel]
+            emask = emask[e_sel] & in_range
+            eg = eg[e_sel]
+            edge_bmaxpow = edge_bmaxpow[e_sel]
+            edge_cov_len = edge_cov_len[e_sel]
+            overflow = jnp.where(sidx == 0, overflow, 0)
+    row_ptr = jnp.asarray(idx.edge_row_ptr)
     b = idx.num_groups
 
     psrc = positions.astype(f32)[esrc]
@@ -1239,20 +1414,14 @@ def span_repulsion_forces(
     dist = jnp.sqrt(dist2)
     inv_dist = f32(1.0) / jnp.maximum(dist, f32(1e-30))
     coeff = jnp.where(active, f32(opts.repulsion_scale) * ws * inv_dist, 0.0)
-    rc = jax.ops.segment_sum(
-        coeff, esrc, num_segments=n, indices_are_sorted=True
-    )
-    ac = jax.ops.segment_sum(
-        coeff[:, None] * pdst, esrc, num_segments=n, indices_are_sorted=True
-    )
+    # src-sorted edges: cumsum + CSR boundary diff replaces the scatters
+    rc = _csr_segment_sum(coeff, row_ptr, e_off)
+    ac = _csr_segment_sum(coeff[:, None] * pdst, row_ptr, e_off)
     force = force - (positions.astype(f32) * rc[:, None] - ac)
     loss = loss - jnp.sum(jnp.where(active, f32(L) / ws - dist, 0.0), dtype=f32)
     count = count - jnp.sum(included, dtype=jnp.int32)
-    zero_count = zero_count - jax.ops.segment_sum(
-        (included & ~posd).astype(jnp.int32),
-        esrc,
-        num_segments=n,
-        indices_are_sorted=True,
+    zero_count = zero_count - _csr_segment_sum(
+        (included & ~posd).astype(jnp.int32), row_ptr, e_off
     )
     return (
         force.astype(dtype),
