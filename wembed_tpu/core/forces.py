@@ -44,6 +44,33 @@ def random_unit_vectors(key, shape_prefix, dim, dtype):
     return g / jnp.where(norm > 0, norm, 1.0)
 
 
+def csr_segment_sum(values, row_ptr, offset=None):
+    """Segment sum of src-sorted edge rows via cumsum + boundary diff.
+
+    XLA-TPU scatter (what segment_sum lowers to) serializes per row; the
+    log-depth parallel prefix streams at HBM speed.  ``values`` are the
+    rows for global edge positions [offset, offset+K) (offset may be
+    traced — the sharded-chunk case; None means 0); ``row_ptr`` is the
+    (n+1,) CSR boundary array.  Rows outside every [row_ptr[v],
+    row_ptr[v+1]) — e.g. the padded tail — are excluded by construction.
+    Integer inputs are exact; float inputs carry O(eps * |prefix|) error
+    from the prefix, comparable to any other summation order's noise."""
+    k = values.shape[0]
+    cz = jnp.concatenate(
+        [
+            jnp.zeros((1,) + values.shape[1:], values.dtype),
+            jnp.cumsum(values, axis=0),
+        ]
+    )
+    if offset is None:
+        lo = jnp.clip(row_ptr[:-1], 0, k)
+        hi = jnp.clip(row_ptr[1:], 0, k)
+    else:
+        lo = jnp.clip(row_ptr[:-1] - offset, 0, k)
+        hi = jnp.clip(row_ptr[1:] - offset, 0, k)
+    return cz[hi] - cz[lo]
+
+
 # ---------------------------------------------------------------- attraction
 
 
@@ -69,11 +96,13 @@ def attraction_forces(
     """
     dtype = positions.dtype
     src, dst, mask = dg.edge_src, dg.edge_dst, dg.edge_mask
+    e_off = None
     if shard is not None:
         axis_name, P = shard
         e_pad = src.shape[0]
         per = -(-e_pad // P)
-        rows = lax.axis_index(axis_name) * per + jnp.arange(per)
+        e_off = lax.axis_index(axis_name) * per
+        rows = e_off + jnp.arange(per)
         valid = rows < e_pad
         eidx = jnp.minimum(rows, e_pad - 1)
         src = src[eidx]
@@ -99,9 +128,7 @@ def attraction_forces(
 
     force_e = lax.cond(jnp.any(zero), with_kicks, lambda f: f, force_e)
 
-    force = jax.ops.segment_sum(
-        force_e, src, num_segments=dg.n, indices_are_sorted=True
-    )
+    force = csr_segment_sum(force_e, dg.row_ptr, e_off)
     loss = jnp.sum(
         jnp.where(active, dist - opts.edge_length / ws, 0.0), dtype=jnp.float32
     )

@@ -1055,30 +1055,11 @@ def span_query(
     )
 
 
-def _csr_segment_sum(values, row_ptr, offset=None, length=None):
-    """Segment sum of src-sorted edge rows via cumsum + boundary diff.
+def _csr_segment_sum(values, row_ptr, offset=None):
+    """Segment sum of src-sorted edge rows (see forces.csr_segment_sum)."""
+    from ..core.forces import csr_segment_sum
 
-    XLA-TPU scatter (what segment_sum lowers to) serializes; the log-depth
-    prefix sum streams at HBM speed instead.  ``values`` are the rows for
-    global edge positions [offset, offset+K) (offset may be traced — the
-    sharded chunk case); ``row_ptr`` is the (n+1,) CSR boundary array.
-    Integer inputs are exact; float inputs carry O(eps * |prefix|) error
-    from the parallel prefix, comparable to the f32 accumulation noise of
-    any other summation order."""
-    k = values.shape[0]
-    cz = jnp.concatenate(
-        [
-            jnp.zeros((1,) + values.shape[1:], values.dtype),
-            jnp.cumsum(values, axis=0),
-        ]
-    )
-    if offset is None:
-        lo = jnp.clip(row_ptr[:-1], 0, k)
-        hi = jnp.clip(row_ptr[1:], 0, k)
-    else:
-        lo = jnp.clip(row_ptr[:-1] - offset, 0, k)
-        hi = jnp.clip(row_ptr[1:] - offset, 0, k)
-    return cz[hi] - cz[lo]
+    return csr_segment_sum(values, row_ptr, offset)
 
 
 # ------------------------------------------------------------ full wrapper
