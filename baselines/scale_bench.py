@@ -93,6 +93,9 @@ def main() -> None:
                 "compile_s": round(compile_s, 3),
                 "overflow": int(emb.state.overflow),
                 "rep_count": int(emb.state.num_rep_forces),
+                "work_tiles": getattr(emb._index, "w", None),
+                "w_pad": getattr(emb._index, "w_pad", None),
+                "span_scale": getattr(emb, "_span_scale", None),
                 "att_loss": round(float(emb.state.attract_loss), 1),
                 "rep_loss": round(float(emb.state.repel_loss), 1),
                 "device": str(jax.devices()[0]),
