@@ -94,33 +94,44 @@ def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None):
     mid-run candidate bulge (positions contract before spreading, and
     windows grow to cover it): a bucket crossing there recompiles the
     step, which dwarfs the padding cost."""
-    tile_off = np.asarray(group_pad_off) // _ST
-    wt_qblk, wt_pair, wt_off, wt_first = [], [], [], []
-    for i in range(nb):
-        first = True
-        for g in range(b):
-            for t in range(int(blk_t[i, g])):
-                wt_qblk.append(i)
-                wt_pair.append(i * b + g)
-                wt_off.append(int(tile_off[g]) + t)
-                wt_first.append(1 if first else 0)
-                first = False
-    w = len(wt_qblk)
+    # vectorized flattening (the list is rebuilt on every growth event and
+    # reaches ~1e5+ tiles at million-vertex scale — a python loop here was
+    # a visible slice of embedder-build time)
+    tile_off = (np.asarray(group_pad_off) // _ST).astype(np.int64)
+    blk_t = np.asarray(blk_t, np.int64)  # (nb, b)
+    flat_t = blk_t.reshape(-1)  # pair-major: i * b + g
+    w = int(flat_t.sum())
+    # pair id of every tile, then per-tile rank within its pair
+    pair_of_tile = np.repeat(np.arange(nb * b, dtype=np.int64), flat_t)
+    pair_starts = np.concatenate([[0], np.cumsum(flat_t)[:-1]])
+    t_within = np.arange(w, dtype=np.int64) - pair_starts[pair_of_tile]
+    qblk = (pair_of_tile // b).astype(np.int64)
+    g_of_tile = pair_of_tile % b
+    off = tile_off[g_of_tile] + t_within
+    # first tile of each query block == first tile position of the block
+    first = np.zeros(w, np.int64)
+    blk_sizes = blk_t.sum(axis=1)
+    blk_starts = np.concatenate([[0], np.cumsum(blk_sizes)[:-1]])
+    first[blk_starts[blk_sizes > 0]] = 1
+
     if pad_to is not None and w <= pad_to:
         w_pad = pad_to  # fits the existing bucket: keep shapes identical
     else:
         w_pad = max(512, _round_up(int(np.ceil(w * 1.6)), 512))
     pad = w_pad - w
-    wt_qblk += [nb] * pad
-    wt_pair += [0] * pad
-    wt_off += [0] * pad
-    wt_first += ([1] + [0] * (pad - 1)) if pad else []
+    wt_qblk = np.concatenate([qblk, np.full(pad, nb, np.int64)])
+    wt_pair = np.concatenate([pair_of_tile, np.zeros(pad, np.int64)])
+    wt_off = np.concatenate([off, np.zeros(pad, np.int64)])
+    first_tail = np.zeros(pad, np.int64)
+    if pad:
+        first_tail[0] = 1
+    wt_first = np.concatenate([first, first_tail])
     return (
         w,
-        np.asarray(wt_qblk, np.int32),
-        np.asarray(wt_pair, np.int32),
-        np.asarray(wt_off, np.int32),
-        np.asarray(wt_first, np.int32),
+        wt_qblk.astype(np.int32),
+        wt_pair.astype(np.int32),
+        wt_off.astype(np.int32),
+        wt_first.astype(np.int32),
     )
 
 
