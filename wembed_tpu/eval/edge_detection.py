@@ -62,9 +62,12 @@ def _sample_non_edges(g: CSRGraph, count: int, rng: np.random.Generator) -> np.n
     seen = np.empty(0, dtype=np.int64)  # sorted keys already taken
     total = 0
     attempts = 0
+    over = 1.4  # adaptive oversampling: doubles when a round yields < 50%,
+    # so the number of rounds (each paying an O(|seen|) union) stays
+    # logarithmic even on dense graphs with high rejection rates
     while total < count and attempts < 50:
         attempts += 1
-        k = int((count - total) * 1.4) + 16
+        k = int((count - total) * over) + 16
         a = rng.integers(0, n, size=k)
         b = rng.integers(0, n, size=k)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -86,6 +89,8 @@ def _sample_non_edges(g: CSRGraph, count: int, rng: np.random.Generator) -> np.n
         got.append(np.stack([lo[:take], hi[:take]], axis=1))
         seen = np.union1d(seen, keys[:take])
         total += take
+        if take * 2 < k:
+            over = min(over * 2.0, 64.0)
     if total < count:
         import warnings
 

@@ -243,12 +243,22 @@ class Mercator(Space):
         return self._distance(self.radii[a], self.radii[b], self._delta_theta_pairs(a, b))
 
     def rows(self, ids):
-        all_ids = np.arange(self.n)
-        return np.stack(
-            [
-                self.pairs(np.full(self.n, i), all_ids)
-                for i in np.asarray(ids).tolist()
-            ]
+        """Vectorized (len(ids), n) distance block — one broadcast matrix
+        instead of an O(n) python pass per sampled node."""
+        ids = np.asarray(ids)
+        if self.angular.ndim == 1:
+            diff = np.abs(self.angular[ids][:, None] - self.angular[None, :])
+            dtheta = np.pi - np.abs(np.pi - diff)
+        else:
+            va = self.angular[ids]  # (k, dim+1)
+            norms = np.linalg.norm(self.angular, axis=-1)
+            cosang = (va @ self.angular.T) / (
+                norms[ids][:, None] * norms[None, :]
+            )
+            dtheta = np.arccos(np.clip(cosang, -1.0, 1.0))
+            dtheta[np.abs(cosang - 1.0) < 1e-15] = 0.0
+        return self._distance(
+            self.radii[ids][:, None], self.radii[None, :], dtheta
         )
 
 
