@@ -349,3 +349,21 @@ def test_measure_needs_host_matches_device():
         3, int(0.02 * need_dev.max())
     )
     assert abs(ovf_host - int(s.overflow)) <= 0.05 * max(int(s.overflow), 50)
+
+def test_span_query_smem_chunking_matches(monkeypatch):
+    """Work-tile lists beyond the SMEM budget run as several pallas calls
+    with summed masked partials — must equal the single-call sweep (the
+    scalar-prefetch tables at million-vertex scale exceed v5e SMEM)."""
+    import jax.numpy as jnp
+
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, opts, w, inv_w, pos, idx, dg = _span_setup(3000, 2, False, 4.0, seed=5)
+    s = span_mod.build_span_structures(pos, inv_w, w, dg.colors, idx, opts)
+    full = span_mod.span_query(s, idx, opts, interpret=True)
+    assert idx.w_pad > 256  # the patched budget actually splits the list
+    monkeypatch.setattr(span_mod, "_W_SMEM", 256)
+    chunked = span_mod.span_query(s, idx, opts, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(full), rtol=1e-6, atol=1e-5
+    )

@@ -984,6 +984,13 @@ def _shard_work_tiles(structures, idx, tables, shard):
     return qblk, stile, first, w_dev
 
 
+# scalar-prefetch tables live in SMEM (~1MB on v5e): bound the per-call
+# work-tile count so qblk/stile/first (3 x 4B x chunk) stay well inside
+# the budget; larger lists run as several calls of ONE compiled
+# executable whose masked partial outputs are summed
+_W_SMEM = 32768
+
+
 def span_query(
     structures: SpanStructures,
     idx: SpanIndex,
@@ -994,8 +1001,9 @@ def span_query(
 ):
     """Run the fused candidate sweep.  Returns per-query-slot channel
     accumulators (NB+1, _Q, C): [acc_pos(d), rowsum, loss, count, zero]
-    (the last block is the bucket-padding dummy).  With ``shard`` each
-    device sweeps its chunk of the work-tile list (partial output)."""
+    (the last block is the bucket-padding dummy), with rows of blocks the
+    sweep never visited zeroed.  With ``shard`` each device sweeps its
+    chunk of the work-tile list (partial output)."""
     if tables is None:
         tables = idx.device_tables()
     c, d = idx.num_channels, idx.d
@@ -1011,59 +1019,90 @@ def span_query(
         rep_scale=float(opts.repulsion_scale),
         additive=bool(opts.additive_weights),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(grid_w,),
-        in_specs=[
-            pl.BlockSpec(
+
+    def one_call(qblk_c, stile_c, first_c, grid_c):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(grid_c,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, _Q, c),
+                    lambda w, qblk, stile, first: (qblk[w], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _Q, 1),
+                    lambda w, qblk, stile, first: (qblk[w], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (c, _ST),
+                    lambda w, qblk, stile, first: (0, stile[w]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _ST),
+                    lambda w, qblk, stile, first: (0, stile[w]),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
                 (1, _Q, c),
                 lambda w, qblk, stile, first: (qblk[w], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, _Q, 1),
-                lambda w, qblk, stile, first: (qblk[w], 0, 0),
-                memory_space=pltpu.VMEM,
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((idx.nb + 1, _Q, c), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=grid_c * _Q * _ST * (3 * d + 16),
+                bytes_accessed=grid_c * (_ST * (c + 1) + _Q * (c + 1)) * 4,
+                transcendentals=grid_c * _Q * _ST,
             ),
-            pl.BlockSpec(
-                (c, _ST),
-                lambda w, qblk, stile, first: (0, stile[w]),
-                memory_space=pltpu.VMEM,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
             ),
-            pl.BlockSpec(
-                (1, _ST),
-                lambda w, qblk, stile, first: (0, stile[w]),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, _Q, c),
-            lambda w, qblk, stile, first: (qblk[w], 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((idx.nb + 1, _Q, c), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=grid_w * _Q * _ST * (3 * d + 16),
-            bytes_accessed=grid_w * (_ST * (c + 1) + _Q * (c + 1)) * 4,
-            transcendentals=grid_w * _Q * _ST,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(
-        qblk,
-        stile,
-        first,
-        structures.qdata,
-        structures.qcol,
-        structures.sdata,
-        structures.scol,
-    )
+            interpret=interpret,
+        )(
+            qblk_c,
+            stile_c,
+            first_c,
+            structures.qdata,
+            structures.qcol,
+            structures.sdata,
+            structures.scol,
+        )
+        visited = (
+            jnp.zeros((idx.nb + 1,), bool)
+            .at[qblk_c]
+            .set(True)
+            .at[idx.nb]
+            .set(False)
+        )
+        return jnp.where(visited[:, None, None], out, 0.0)
+
+    if grid_w <= _W_SMEM:
+        return one_call(qblk, stile, first, grid_w)
+
+    n_chunks = _cdiv(grid_w, _W_SMEM)
+    pad = n_chunks * _W_SMEM - grid_w
+    qblk_p = jnp.concatenate([qblk, jnp.full((pad,), idx.nb, jnp.int32)])
+    stile_p = jnp.concatenate([stile, jnp.zeros((pad,), jnp.int32)])
+    acc = None
+    for ci in range(n_chunks):
+        lo = ci * _W_SMEM
+        qblk_c = lax.dynamic_slice_in_dim(qblk_p, lo, _W_SMEM)
+        stile_c = lax.dynamic_slice_in_dim(stile_p, lo, _W_SMEM)
+        # per-chunk first flags by block-change detection: each chunk
+        # initializes its own output blocks; cross-chunk continuation of
+        # a block accumulates via the summed partials
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qblk_c[:-1]])
+        first_c = (qblk_c != prev).astype(jnp.int32)
+        out_c = one_call(qblk_c, stile_c, first_c, _W_SMEM)
+        acc = out_c if acc is None else acc + out_c
+    return acc
 
 
 def _csr_segment_sum(values, row_ptr, offset=None):
@@ -1086,21 +1125,15 @@ def _kernel_accumulate(structures, idx, opts, tables, interpret, shard=None):
     f32 = jnp.float32
     if tables is None:
         tables = idx.device_tables()
+    # span_query zeroes the rows of blocks the sweep never visited (every
+    # window shrunk to 0, the dummy padding block, or — under sharding —
+    # blocks owned by other devices' chunks), so the reshape below reads
+    # no uninitialized memory
     out = span_query(
         structures, idx, opts, tables=tables, interpret=interpret, shard=shard
     )
     c = idx.num_channels
     flat = out.reshape(idx.nq, c)
-    # blocks this sweep never visited (every window shrunk to 0, the dummy
-    # padding block, or — under sharding — blocks owned by other devices'
-    # chunks) never write their out rows: mask the uninitialized memory.
-    # Derived from the TRACED chunk tables, so it survives table swaps
-    # without recompiling.
-    qblk = _shard_work_tiles(structures, idx, tables, shard)[0]
-    visited = (
-        jnp.zeros((idx.nb + 1,), bool).at[qblk].set(True).at[idx.nb].set(False)
-    )
-    flat = jnp.where(jnp.repeat(visited, _Q)[:, None], flat, 0.0)
     qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
     force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
     q_ids = structures.q_ids
