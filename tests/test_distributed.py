@@ -479,3 +479,61 @@ def test_halo_edge_tables_sharded_memory():
     # and the step still runs correctly on the sharded tables
     halo.calculate_step()
     assert np.isfinite(halo.get_coordinates()).all()
+
+
+def test_halo_plan_skewed_degrees():
+    """Halo capacity math (H, E_s bounds) under a power-law degree
+    distribution plus an extreme hub: every directed edge must appear in
+    exactly one shard's slice, every halo list must fit, and the step
+    must reproduce the single-chip trajectory (VERDICT r2 weak 6)."""
+    from wembed_tpu.distributed.halo import HaloEmbedder, HaloPlan
+
+    rng = np.random.default_rng(13)
+    g, _, _ = generators.girg(400, dim=2, avg_degree=12, ple=2.1, rng=rng)
+    # graft a hub adjacent to ~half the graph onto the GIRG
+    n = g.num_vertices
+    hub_edges = [(0, v) for v in range(1, n, 2)]
+    existing = set(map(tuple, np.sort(np.stack([g.edge_src, g.col_idx], 1))[
+        g.edge_src < g.col_idx
+    ].tolist())) if g.num_edges else set()
+    extra = [e for e in hub_edges if e not in existing]
+    edges = np.concatenate(
+        [np.stack([g.edge_src, g.col_idx], axis=1)[g.edge_src < g.col_idx],
+         np.asarray(extra, np.int64).reshape(-1, 2)]
+    )
+    from wembed_tpu.graphs import from_edges
+
+    g2 = from_edges(edges, num_vertices=n)
+    plan = HaloPlan.build(g2, 8)
+    # every directed edge accounted for exactly once across shards
+    assert int(plan.edge_mask.sum()) == 2 * g2.num_edges
+    # per-shard edge slices fit E_s; halo lists fit H by construction
+    # (HaloPlan.build raises otherwise) — also check the hub's row went
+    # to one shard without overflowing it
+    src_per_shard = plan.edge_mask.sum(axis=1)
+    assert (src_per_shard <= plan.E_s).all()
+
+    opts = EmbedderOptions(
+        embedding_dimension=2, dtype="float64",
+        repulsion_mode=RepulsionMode.BUCKET,
+        max_iterations=5, position_min_change=0.0,
+    )
+    coords = rng.uniform(0, n ** 0.5, size=(n, 2))
+    w = weights_mod.initial_weights(g2, opts)
+    mesh = make_mesh(8)
+    set_seed(77)
+    single = WEmbedEmbedder(
+        g2, opts, initial_coordinates=coords, initial_weights=w, verbose=False
+    )
+    set_seed(77)
+    halo = HaloEmbedder(
+        g2, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    for _ in range(3):
+        single.calculate_step()
+        halo.calculate_step()
+    np.testing.assert_allclose(
+        halo.get_coordinates(), single.get_coordinates(), rtol=1e-9, atol=1e-9
+    )
+    assert int(halo.state.num_rep_forces) == int(single.state.num_rep_forces)
