@@ -18,14 +18,17 @@ src/embeddingLib/src/embedder/NewWEmbedEmbedder.cpp:309):
     entirely local: every directed edge is owned by its source's shard, so
     force writes never cross devices.
   * Repulsion still needs global geometry: positions are all-gathered
-    (transient O(n*d) per device, freed after the pass), the bucketed
-    candidate pass runs block-partitioned exactly as the replicated backend
-    (distributed/step.py), and the partial force field is reduced straight
-    back to vertex shards with ``lax.psum_scatter`` — half the wire cost of
-    a full all-reduce.  Making the candidate structures themselves
-    rank-range sharded (removing the transient gather) is the documented
-    follow-up; the bucket correction-edge tables are also still replicated
-    (O(E) int32) inside the repulsion pass.
+    (transient O(n*d) per device, freed after the pass), the candidate
+    pass runs partitioned — the fused span kernel by work-tile chunks
+    (span_sparse._shard_work_tiles), the jnp bucket path by query blocks —
+    and the partial force field is reduced straight back to vertex shards
+    with ``lax.psum_scatter`` — half the wire cost of a full all-reduce.
+    The O(E) correction-edge tables are SHARDED by edge range
+    (``EdgeChunk``: O(E/P) live bytes per device), so per-device memory is
+    O(n·d transient + n scalars + E/P) — the remaining O(n) terms are the
+    transient gather and the sorted structures build (O(n·C)); making
+    those rank-range sharded (distributed sort + boundary-span exchange)
+    is the documented follow-up.
   * Optimizer update, gravity recentring (mean via scalar psum), and the
     convergence metric run on local rows only.
 
