@@ -106,7 +106,7 @@ class WEmbedEmbedder:
         # searchsorted logic) — the eager device version cost ~80s of
         # one-time remote compiles per source revision at 100K vertices
         pos_np = np.asarray(self._state.positions, np.float64)
-        for _ in range(3):
+        for _ in range(6):
             needs, overflow = span_mod.measure_needs_host(
                 pos_np, self._weights_np, self._index, self.opts
             )
@@ -187,8 +187,12 @@ class WEmbedEmbedder:
         truncated at convergence are doubled and the embedding continues
         from the current state, so the FINAL state always reflects the
         full candidate set (overflow == 0) or spans already cover whole
-        buckets."""
-        if self._index is None or self._span_scale >= 1024:
+        buckets.  The runaway guard is generous (2^20 growth events):
+        span-path growth terminates naturally via ``can_grow`` once every
+        window covers its whole target group — a 1024 cap used to leave
+        residual truncation at million-vertex scale (needs are a moving
+        target, so legitimate runs take >10 events)."""
+        if self._index is None or self._span_scale >= 2**20:
             return False
         if isinstance(self._index, span_mod.SpanIndex):
             if not self._index.can_grow():

@@ -536,7 +536,7 @@ class HaloEmbedder:
         if not isinstance(self._index, span_mod.SpanIndex):
             return
         needs = None
-        for _ in range(3):
+        for _ in range(6):
             needs, overflow = self._measure_needs()
             if overflow == 0:
                 break
@@ -552,7 +552,7 @@ class HaloEmbedder:
     def _grow_spans(self) -> bool:
         if not isinstance(self._index, span_mod.SpanIndex):
             return False
-        if self._span_scale >= 1024 or not self._index.can_grow():
+        if self._span_scale >= 2**20 or not self._index.can_grow():
             return False
         grown = self._index.grow_from_needs(self._measure_needs()[0])
         if grown is None:
