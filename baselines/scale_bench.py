@@ -52,6 +52,10 @@ def main() -> None:
     wall = 0.0
     done = 0
     for _ in range(6):
+        # growth in a PREVIOUS window can swap the step closure — its
+        # recompile cost lands lazily on the FIRST execution after the
+        # swap, so always warm a couple of iterations before timing
+        emb.calculate_embedding(max_iterations=emb.iteration + 2)
         scale_before = getattr(emb, "_span_scale", 1.0)
         index_before = emb._index
         it0 = emb.iteration

@@ -79,7 +79,7 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None):
+def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None, headroom=1.6):
     """Static (W, qblk, pair, off, first) work-tile tables from per-block
     tile counts — the flattened pallas grid order (block-major so output
     blocks are revisited on consecutive grid steps).
@@ -117,7 +117,7 @@ def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None):
     if pad_to is not None and w <= pad_to:
         w_pad = pad_to  # fits the existing bucket: keep shapes identical
     else:
-        w_pad = max(512, _round_up(int(np.ceil(w * 1.6)), 512))
+        w_pad = max(512, _round_up(int(np.ceil(w * headroom)), 512))
     pad = w_pad - w
     wt_qblk = np.concatenate([qblk, np.full(pad, nb, np.int64)])
     wt_pair = np.concatenate([pair_of_tile, np.zeros(pad, np.int64)])
@@ -292,9 +292,13 @@ class SpanIndex:
         from dataclasses import replace
 
         blk_t = t_table[self.blk_group].astype(np.int32)
+        # a regrow that outgrew its bucket is a MID-RUN event (needs are a
+        # moving target): take extra bucket headroom so the next growth
+        # stays a zero-recompile table swap — padding tiles are ~free,
+        # a step recompile costs ~40s+
         wt = _assemble_work_tiles(
             self.nb, self.num_groups, blk_t, self.group_pad_off,
-            pad_to=self.w_pad,
+            pad_to=self.w_pad, headroom=2.0,
         )
         cov_len = (
             t_table[self.group_of[self.edge_src], self.edge_dst_group] * _ST
