@@ -311,23 +311,17 @@ def test_shrunk_pairs_report_no_phantom_overflow():
     from wembed_tpu.kernels import span_sparse as span_mod
 
     g, opts, w, inv_w, pos, idx, dg = _span_setup(3000, 2, False, 4.0, seed=5)
-    # force EVERY pair to 0 tiles: with zero coverage, overflow must equal
-    # the sum of true needs (stop - start), not need + rank-offset junk
-    bare = idx._with_t_table(np.zeros_like(idx.t_table))
+    # force EVERY window to 0 tiles: with zero coverage, overflow must
+    # equal the sum of true needs (stop - start), not need + rank junk
+    bare = idx._with_blk_t(np.zeros_like(idx.blk_t))
     s = span_mod.build_span_structures(pos, inv_w, w, dg.colors, bare, opts)
     needs = np.asarray(s.need)
     assert int(s.overflow) == int(needs.sum())
     # growth from measured needs must keep zero-need pairs at 0 tiles
     grown = bare.grow_from_needs(needs)
     assert grown is not None
-    b = bare.num_groups
-    need_pair = np.zeros((b, b), np.int64)
-    for qg in range(b):
-        rows = needs[bare.blk_group == qg]
-        if rows.size:
-            need_pair[qg] = rows.max(axis=0)
-    assert (grown.t_table[need_pair == 0] == 0).all()
-    assert (grown.t_table[need_pair > 0] > 0).all()
+    assert (grown.blk_t[needs == 0] == 0).all()
+    assert (grown.blk_t[needs > 0] > 0).all()
 
 def test_measure_needs_host_matches_device():
     """The numpy needs measurement (presize/growth protocol) must agree

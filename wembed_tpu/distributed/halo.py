@@ -498,8 +498,9 @@ class HaloEmbedder:
 
     def _build_echunk(self):
         """Device-put the sharded (P, E_dev) correction-edge tables —
-        O(E/P) live bytes per device (the memory-scalable configuration;
-        rebuilt on span growth because cov_len changes)."""
+        O(E/P) live bytes per device (the memory-scalable configuration).
+        Fully STATIC: window coverage is derived in-trace from the traced
+        blk_t tables, so growth never touches these."""
         if not isinstance(self._index, span_mod.SpanIndex):
             return None
         chunks = span_mod.build_edge_chunks(
@@ -529,8 +530,6 @@ class HaloEmbedder:
                     index=new_index,
                 )
             )
-        # cov_len changed with the window table: refresh the sharded slices
-        self._echunk = self._build_echunk()
 
     def _presize_spans(self) -> None:
         if not isinstance(self._index, span_mod.SpanIndex):

@@ -157,7 +157,8 @@ class SpanIndex:
     group_pad_off: np.ndarray  # member offset in ST-padded layout
     group_tiles: np.ndarray  # n_tiles per group
     bmaxpow: np.ndarray  # f32 bmax_g^(1/d)
-    t_table: np.ndarray  # (B, B) span tiles per (query group, target group)
+    t_table: np.ndarray  # (B, B) INITIAL sizing heuristic per (query
+    # group, target group); growth/shrink operate on the per-block blk_t
     # per-vertex static
     group_of: np.ndarray  # (n,) int32
     class_bm2: np.ndarray  # (n,) f32: per-DOUBLING-CLASS max^(2/d) — the
@@ -184,7 +185,6 @@ class SpanIndex:
     edge_dst: np.ndarray
     edge_mask: np.ndarray
     edge_dst_group: np.ndarray
-    edge_cov_len: np.ndarray  # T[group(src), group(dst)] * _ST, static
     edge_bmaxpow: np.ndarray  # per-class max^(1/d) of dst, static
     edge_row_ptr: np.ndarray  # (n+1,) CSR offsets into the padded edges
     span_scale: float
@@ -208,7 +208,6 @@ class SpanIndex:
             wt_off=jnp.asarray(self.wt_off),
             wt_first=jnp.asarray(self.wt_first),
             blk_t=jnp.asarray(self.blk_t),
-            edge_cov_len=jnp.asarray(self.edge_cov_len),
         )
 
     @property
@@ -218,80 +217,75 @@ class SpanIndex:
         return int((self.nb + 1) * _Q)
 
     def can_grow(self) -> bool:
-        """False once every (query group, target group) pair already scans
-        the whole target group — growth could not add candidates."""
-        return bool(np.any(self.t_table < self.group_tiles[None, :]))
+        """False once every (query block, target group) window already
+        scans the whole target group — growth could not add candidates."""
+        return bool(np.any(self.blk_t < self.group_tiles[None, :]))
 
     def grow_from_needs(
         self, needs: np.ndarray, headroom: float = 1.3
     ) -> "SpanIndex | None":
-        """Adaptive growth: widen each (query group, target group) window to
-        the MEASURED per-block searchsorted need (``SpanStructures.need``,
-        (NB, B) member counts), instead of blindly doubling a global scale.
-        The reference never truncates (its radius index is exact,
-        WeightedIndex.cpp:65-100); this converges to the same no-truncation
-        guarantee while only widening the pairs that actually overflowed.
+        """Adaptive growth: widen each (query BLOCK, target group) window
+        to its own MEASURED searchsorted need (``SpanStructures.need``,
+        (NB, B) member counts).  The reference never truncates (its radius
+        index is exact, WeightedIndex.cpp:65-100); this converges to the
+        same no-truncation guarantee while only widening the windows that
+        actually overflowed.
 
-        Needs are a MOVING target (clusters densify along the projection as
-        the embedding evolves), and every regrow recompiles the kernel, so
-        each growth takes ``headroom`` slack on the measured need AND at
-        least doubles the starved pair's window — total growth events per
-        pair are O(log tiles), not O(steps).
+        Sizing is PER BLOCK, not per (group, group) max: blocks are fixed
+        rank ranges of a group's projection-sorted members, and need
+        varies strongly along the axis (dense middle, sparse tails) —
+        collapsing to the group max cost ~3x the total work tiles on
+        girg100k (measured).  A block's need profile is stable across
+        steps because its RANK range is static even though its member set
+        churns.
+
+        Needs are a MOVING target (clusters densify along the projection
+        as the embedding evolves), so each growth takes ``headroom`` slack
+        on the measured need AND at least doubles the starved window —
+        total growth events per window are O(log tiles), not O(steps).
 
         Returns the regrown index, or None if already fully covering."""
-        needs = np.asarray(needs)
-        b = self.num_groups
-        need_pair = np.zeros((b, b), np.int64)
-        for qg in range(b):
-            rows = needs[self.blk_group == qg]
-            if rows.size:
-                need_pair[qg] = rows.max(axis=0)
+        needs = np.asarray(needs, np.int64)
         # a window of t tiles only guarantees coverage of (t-1)*ST+1
         # members in the worst tile alignment, so the starvation test and
-        # the sizing both carry the +1 quantization tile — EXCEPT for pairs
-        # with zero measured need, which require zero tiles (otherwise every
-        # growth event would resurrect all shrink_empty'd pairs)
-        min_tiles = np.where(need_pair > 0, -(-need_pair // _ST) + 1, 0)
-        starved = min_tiles > self.t_table
-        need_tiles = -(-(need_pair * headroom).astype(np.int64) // _ST) + 1
+        # the sizing both carry the +1 quantization tile — EXCEPT for
+        # windows with zero measured need, which require zero tiles
+        # (otherwise every growth event would resurrect all
+        # shrink_empty'd windows)
+        min_tiles = np.where(needs > 0, -(-needs // _ST) + 1, 0)
+        starved = min_tiles > self.blk_t
+        need_tiles = -(-(needs * headroom).astype(np.int64) // _ST) + 1
         t_new = np.where(
-            starved, np.maximum(need_tiles, 2 * self.t_table), self.t_table
+            starved, np.maximum(need_tiles, 2 * self.blk_t), self.blk_t
         )
         t_new = np.minimum(t_new, self.group_tiles[None, :])
-        if np.array_equal(t_new, self.t_table):
+        if np.array_equal(t_new, self.blk_t):
             return None
-        return self._with_t_table(t_new)
+        return self._with_blk_t(t_new)
 
     def shrink_empty(self, needs: np.ndarray) -> "SpanIndex | None":
-        """Drop the 1-tile floor for (query group, target group) pairs with
-        ZERO measured window need — the static work list pays NB*B*_ST
-        slots of floor even where no member is in range.  Safe: a pair
-        whose need later becomes positive has zero coverage, so every one
-        of its candidates counts as overflow and triggers regrowth
-        (``grow_from_needs`` then sizes it from the measured need).
+        """Drop the 1-tile floor for (query block, target group) windows
+        with ZERO measured need.  Safe: a window whose need later becomes
+        positive has zero coverage, so every one of its candidates counts
+        as overflow and triggers regrowth (``grow_from_needs`` then sizes
+        it from the measured need).
 
         Meant to be called once at pre-size time; returns None if nothing
         shrinks."""
         needs = np.asarray(needs)
-        b = self.num_groups
-        need_pair = np.zeros((b, b), np.int64)
-        for qg in range(b):
-            rows = needs[self.blk_group == qg]
-            if rows.size:
-                need_pair[qg] = rows.max(axis=0)
-        t_new = np.where(need_pair == 0, 0, self.t_table)
-        if np.array_equal(t_new, self.t_table):
+        t_new = np.where(needs == 0, 0, self.blk_t)
+        if np.array_equal(t_new, self.blk_t):
             return None
-        return self._with_t_table(t_new)
+        return self._with_blk_t(t_new)
 
-    def _with_t_table(self, t_table: np.ndarray) -> "SpanIndex":
-        """Same group skeleton, new per-pair window widths: reassemble the
-        static work-tile list and the edge-correction coverage lengths.
-        Keeps the current w_pad bucket when the new list fits, so the
-        regrown index reuses every compiled executable."""
+    def _with_blk_t(self, blk_t: np.ndarray) -> "SpanIndex":
+        """Same group skeleton, new per-(block, group) window widths:
+        reassemble the static work-tile list.  Keeps the current w_pad
+        bucket when the new list fits, so the regrown index reuses every
+        compiled executable."""
         from dataclasses import replace
 
-        blk_t = t_table[self.blk_group].astype(np.int32)
+        blk_t = np.asarray(blk_t, np.int64)
         # a regrow that outgrew its bucket is a MID-RUN event (needs are a
         # moving target): take extra bucket headroom so the next growth
         # stays a zero-recompile table swap — padding tiles are ~free,
@@ -300,19 +294,14 @@ class SpanIndex:
             self.nb, self.num_groups, blk_t, self.group_pad_off,
             pad_to=self.w_pad, headroom=2.0,
         )
-        cov_len = (
-            t_table[self.group_of[self.edge_src], self.edge_dst_group] * _ST
-        ).astype(np.int32)
         return replace(
             self,
-            t_table=t_table,
-            blk_t=blk_t,
+            blk_t=blk_t.astype(np.int32),
             w=wt[0],
             wt_qblk=wt[1],
             wt_pair=wt[2],
             wt_off=wt[3],
             wt_first=wt[4],
-            edge_cov_len=cov_len,
         )
 
     @staticmethod
@@ -421,7 +410,6 @@ class SpanIndex:
         esrc_p = np.concatenate([esrc, np.full(pad, n - 1, np.int32)])
         edst_p = np.concatenate([edst, np.zeros(pad, np.int32)])
         eg = group_of[edst_p]
-        cov_len = (t_table[group_of[esrc_p], eg] * _ST).astype(np.int32)
 
         sorted_moff = np.repeat(group_moff, group_sizes).astype(np.int32)
         sorted_shift_pad = np.repeat(
@@ -467,7 +455,6 @@ class SpanIndex:
             edge_dst=edst_p,
             edge_mask=emask,
             edge_dst_group=eg.astype(np.int32),
-            edge_cov_len=cov_len,
             # correction radius factor: per-CLASS max of the dst, matching
             # the kernel's count channel (reference WeightedIndex.cpp:65-81)
             edge_bmaxpow=np.sqrt(class_bm2[edst_p]).astype(np.float32),
@@ -565,7 +552,6 @@ class SpanTables(NamedTuple):
     wt_off: jax.Array  # (W_pad,) i32
     wt_first: jax.Array  # (W_pad,) i32
     blk_t: jax.Array  # (NB, B) i32
-    edge_cov_len: jax.Array  # (E,) i32
 
 
 class EdgeChunk(NamedTuple):
@@ -573,16 +559,14 @@ class EdgeChunk(NamedTuple):
     memory-scalable alternative to baking the full O(E) tables into every
     device's program.  Built host-side by ``build_edge_chunks`` as
     (P, E_dev) stacked arrays, device_put with row sharding, and unwrapped
-    to (E_dev,) slices inside shard_map.  ``cov_len`` is the only member
-    that changes under same-bucket span growth (traced swap); the rest
-    are static."""
+    to (E_dev,) slices inside shard_map.  All members are STATIC (window
+    coverage is derived in-trace from the traced blk_t tables)."""
 
     src: jax.Array  # (E_dev,) i32
     dst: jax.Array  # (E_dev,) i32
     mask: jax.Array  # (E_dev,) bool
     dst_group: jax.Array  # (E_dev,) i32
     bmaxpow: jax.Array  # (E_dev,) f32
-    cov_len: jax.Array  # (E_dev,) i32
 
 
 def build_edge_chunks(idx: SpanIndex, num_shards: int):
@@ -608,7 +592,6 @@ def build_edge_chunks(idx: SpanIndex, num_shards: int):
         mask=mask,
         dst_group=stack(idx.edge_dst_group),
         bmaxpow=stack(idx.edge_bmaxpow),
-        cov_len=stack(idx.edge_cov_len),
     )
 
 
@@ -1212,7 +1195,6 @@ def span_fused_forces(
     emask = jnp.asarray(idx.edge_mask)
     eg = jnp.asarray(idx.edge_dst_group)
     edge_bmaxpow = jnp.asarray(idx.edge_bmaxpow)
-    edge_cov_len = tables.edge_cov_len
     e_full = int(esrc.shape[0])
     kick_shape = e_full
     e_sel = None
@@ -1233,7 +1215,6 @@ def span_fused_forces(
         emask = emask[e_sel] & in_range
         eg = eg[e_sel]
         edge_bmaxpow = edge_bmaxpow[e_sel]
-        edge_cov_len = edge_cov_len[e_sel]
         overflow = jnp.where(sidx == 0, overflow, 0)
     row_ptr = jnp.asarray(idx.edge_row_ptr)
     b = idx.num_groups
@@ -1257,18 +1238,19 @@ def span_fused_forces(
     )
 
     # correction: mirrors the kernel's inclusion exactly (same radius
-    # product, same covered tile windows, same color filter)
+    # product, same covered tile windows, same color filter).  Coverage
+    # start AND length both come from traced per-(block, group) tables,
+    # so every window resize is a zero-recompile swap.
     r_e = structures.lwpow[esrc] * edge_bmaxpow
-    cov_start = (
-        structures.start_tile.reshape(-1)[structures.block_of[esrc] * b + eg]
-        * _ST
-    )
+    cov_pair = structures.block_of[esrc] * b + eg
+    cov_start = structures.start_tile.reshape(-1)[cov_pair] * _ST
+    cov_len_e = tables.blk_t.reshape(-1)[cov_pair] * _ST
     rank = structures.rank_of[edst]
     included = (
         emask
         & (dist2 <= r_e * r_e)
         & (rank >= cov_start)
-        & (rank < cov_start + edge_cov_len)
+        & (rank < cov_start + cov_len_e)
         & (colors[esrc] != colors[edst])
     )
     act_r = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
@@ -1386,7 +1368,6 @@ def span_repulsion_forces(
         emask = edge_chunk.mask
         eg = edge_chunk.dst_group
         edge_bmaxpow = edge_chunk.bmaxpow
-        edge_cov_len = edge_chunk.cov_len
         e_off = sidx * esrc.shape[0]
         overflow = jnp.where(sidx == 0, overflow, 0)
     else:
@@ -1395,7 +1376,6 @@ def span_repulsion_forces(
         emask = jnp.asarray(idx.edge_mask)
         eg = jnp.asarray(idx.edge_dst_group)
         edge_bmaxpow = jnp.asarray(idx.edge_bmaxpow)
-        edge_cov_len = tables.edge_cov_len
         e_off = None
         if shard is not None:
             axis_name, num_shards = shard
@@ -1411,7 +1391,6 @@ def span_repulsion_forces(
             emask = emask[e_sel] & in_range
             eg = eg[e_sel]
             edge_bmaxpow = edge_bmaxpow[e_sel]
-            edge_cov_len = edge_cov_len[e_sel]
             overflow = jnp.where(sidx == 0, overflow, 0)
     row_ptr = jnp.asarray(idx.edge_row_ptr)
     b = idx.num_groups
@@ -1421,16 +1400,15 @@ def span_repulsion_forces(
     diff = psrc - pdst
     dist2 = jnp.sum(diff * diff, axis=-1)
     r_e = structures.lwpow[esrc] * edge_bmaxpow
-    cov_start = (
-        structures.start_tile.reshape(-1)[structures.block_of[esrc] * b + eg]
-        * _ST
-    )
+    cov_pair = structures.block_of[esrc] * b + eg
+    cov_start = structures.start_tile.reshape(-1)[cov_pair] * _ST
+    cov_len_e = tables.blk_t.reshape(-1)[cov_pair] * _ST
     rank = structures.rank_of[edst]
     included = (
         emask
         & (dist2 <= r_e * r_e)
         & (rank >= cov_start)
-        & (rank < cov_start + edge_cov_len)
+        & (rank < cov_start + cov_len_e)
         & (colors[esrc] != colors[edst])
     )
     ws = (
