@@ -35,16 +35,21 @@ void wembed_label_propagation(
     std::vector<double> edge_sum(n, 0.0);
     std::vector<int32_t> cluster_size(n, 0);
 
+    // initial assignment: cluster id == node id.  Sizes intentionally
+    // start at 0, not 1 — the size-cap test below must match the
+    // reference semantics (LabelPropagation.cpp:70-76), which only counts
+    // nodes that have MOVED into a cluster, so a node's own singleton
+    // never blocks its first move.
     for (int64_t i = 0; i < n; i++) cluster[i] = (int32_t)i;
-    // every node starts in its own cluster of size 0 (the reference only
-    // increments sizes as nodes move, LabelPropagation.cpp:70-76)
 
     for (int32_t it = 0; it < num_iterations; it++) {
         for (int64_t vi = 0; vi < n; vi++) {
             const int32_t v = order[vi];
             const int64_t begin = row_ptr[v], end = row_ptr[v + 1];
 
-            // sum edge weights into neighbor clusters
+            // accumulate v's edge weight per adjacent cluster; the second
+            // neighbor pass below zeroes each touched slot, so edge_sum
+            // stays all-zero between nodes without an O(n) clear
             for (int64_t e = begin; e < end; e++) {
                 edge_sum[cluster[col[e]]] += ew[e];
             }
