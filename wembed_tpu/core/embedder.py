@@ -118,11 +118,12 @@ class WEmbedEmbedder:
             self._index = grown
             grew = True
         if needs is not None:
-            # drop the 1-tile floor for pairs with no members in range —
-            # a large share of the static work list on clustered graphs
-            shrunk = self._index.shrink_empty(needs)
-            if shrunk is not None:
-                self._index = shrunk
+            # two-sided resize: size every window to its measured need —
+            # the initial heuristic + group-level growth leave most
+            # windows over-provisioned (~3x total tiles on girg100k)
+            resized = self._index.resize_to_needs(needs)
+            if resized is not None:
+                self._index = resized
                 grew = True
         if grew:
             old_pad = None if self._tables is None else self._tables.wt_qblk.shape[0]

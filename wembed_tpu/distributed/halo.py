@@ -544,9 +544,10 @@ class HaloEmbedder:
                 break
             self._swap_index(grown)
         if needs is not None:
-            shrunk = self._index.shrink_empty(needs)
-            if shrunk is not None:
-                self._swap_index(shrunk)
+            # two-sided resize: size every window to its measured need
+            resized = self._index.resize_to_needs(needs)
+            if resized is not None:
+                self._swap_index(resized)
 
     def _grow_spans(self) -> bool:
         if not isinstance(self._index, span_mod.SpanIndex):

@@ -254,9 +254,34 @@ class SpanIndex:
         # shrink_empty'd windows)
         min_tiles = np.where(needs > 0, -(-needs // _ST) + 1, 0)
         starved = min_tiles > self.blk_t
-        need_tiles = -(-(needs * headroom).astype(np.int64) // _ST) + 1
+        # sizing carries +2 tiles (quantization + ~_ST members of churn
+        # margin: block membership shifts along the projection between
+        # steps, and re-starving a window costs a device-loop exit)
+        need_tiles = -(-(needs * headroom).astype(np.int64) // _ST) + 2
         t_new = np.where(
             starved, np.maximum(need_tiles, 2 * self.blk_t), self.blk_t
+        )
+        t_new = np.minimum(t_new, self.group_tiles[None, :])
+        if np.array_equal(t_new, self.blk_t):
+            return None
+        return self._with_blk_t(t_new)
+
+    def resize_to_needs(
+        self, needs: np.ndarray, headroom: float = 1.3
+    ) -> "SpanIndex | None":
+        """Two-sided resize: size EVERY (query block, target group) window
+        to its measured need — shrinking over-provisioned windows as well
+        as growing starved ones (zero-need windows drop to 0 tiles).
+
+        Used at PRESIZE time only, where shrinking is safe: a window that
+        later needs more coverage reports overflow and regrows
+        (one-sided ``grow_from_needs``, which never shrinks, handles the
+        mid-run moving target without thrash)."""
+        needs = np.asarray(needs, np.int64)
+        t_new = np.where(
+            needs > 0,
+            -(-(needs * headroom).astype(np.int64) // _ST) + 2,
+            0,
         )
         t_new = np.minimum(t_new, self.group_tiles[None, :])
         if np.array_equal(t_new, self.blk_t):
