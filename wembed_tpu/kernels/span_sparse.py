@@ -278,9 +278,12 @@ class SpanIndex:
         (one-sided ``grow_from_needs``, which never shrinks, handles the
         mid-run moving target without thrash)."""
         needs = np.asarray(needs, np.int64)
+        # +1 quantization tile only: presize windows regrow cheaply if the
+        # run starves them, while an extra blanket tile costs one tile per
+        # nonzero window (~38K tiles at million-vertex scale)
         t_new = np.where(
             needs > 0,
-            -(-(needs * headroom).astype(np.int64) // _ST) + 2,
+            -(-(needs * headroom).astype(np.int64) // _ST) + 1,
             0,
         )
         t_new = np.minimum(t_new, self.group_tiles[None, :])
