@@ -306,7 +306,7 @@ def test_shrunk_pairs_report_no_phantom_overflow():
     """A (query, target) pair shrunk to 0 tiles with zero members in range
     must contribute ZERO overflow (not its rank offset mod tile size), and
     grow_from_needs must NOT resurrect shrunk pairs whose measured need is
-    still zero — otherwise every growth event undoes shrink_empty and
+    still zero — otherwise every growth event undoes the zero-need resize and
     wastes capped growth budget (advisor r2, span_sparse.py)."""
     from wembed_tpu.kernels import span_sparse as span_mod
 

@@ -64,10 +64,9 @@ def save_checkpoint(path: str, embedder) -> None:
 
 
 def _restore_flat_state(data, embedder: WEmbedEmbedder) -> None:
+    from ..kernels import span_sparse as span_mod
+
     embedder.set_weights(data["weights"])
-    span_scale = float(data["span_scale"])
-    while embedder._span_scale < span_scale and embedder._grow_spans():
-        pass
     dtype = embedder._dtype
     embedder.state = EmbedState(
         positions=jnp.asarray(data["positions"], dtype),
@@ -81,6 +80,17 @@ def _restore_flat_state(data, embedder: WEmbedEmbedder) -> None:
         num_rep_forces=jnp.asarray(data["num_rep_forces"], jnp.int32),
         overflow=jnp.asarray(data["overflow"], jnp.int32),
     )
+    if isinstance(getattr(embedder, "_index", None), span_mod.SpanIndex):
+        # size candidate windows from the RESTORED positions (growth is
+        # needs-based, so replaying the original run's growth count would
+        # size windows for the constructor's random init instead — the
+        # resumed run must start untruncated at the restored geometry)
+        embedder._presize_spans()
+    else:
+        # BucketIndex growth is scale-based: replay the saved doublings
+        span_scale = float(data["span_scale"])
+        while embedder._span_scale < span_scale and embedder._grow_spans():
+            pass
 
 
 def load_checkpoint(path: str, embedder) -> None:

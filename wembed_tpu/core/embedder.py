@@ -148,6 +148,7 @@ class WEmbedEmbedder:
             weights_mod.inv_exp_weights(w, d), dtype=self._dtype
         )
         self._span_scale = 1.0
+        self._growth_events = 0
         self._rebuild_step()
 
     def _rebuild_step(self) -> None:
@@ -182,25 +183,26 @@ class WEmbedEmbedder:
         self._phase_fns = None  # rebuilt lazily on the next profiled step
 
     def _grow_spans(self) -> bool:
-        """Double candidate spans (up to a cap); returns True if grown.
+        """Widen candidate windows; returns True if grown.
 
-        The reference's exact radius index can never truncate; spans that
-        truncated at convergence are doubled and the embedding continues
-        from the current state, so the FINAL state always reflects the
-        full candidate set (overflow == 0) or spans already cover whole
-        buckets.  The runaway guard is generous (2^20 growth events):
-        span-path growth terminates naturally via ``can_grow`` once every
-        window covers its whole target group — a 1024 cap used to leave
-        residual truncation at million-vertex scale (needs are a moving
-        target, so legitimate runs take >10 events)."""
-        if self._index is None or self._span_scale >= 2**20:
+        The reference's exact radius index can never truncate; windows
+        that truncated at convergence are widened and the embedding
+        continues from the current state, so the FINAL state always
+        reflects the full candidate set (overflow == 0) or windows
+        already cover whole groups.  Span-path growth terminates
+        naturally via ``can_grow`` once every window spans its whole
+        target group; the event counter is only a runaway guard (needs
+        are a moving target, so legitimate runs take dozens of cheap
+        table-swap events — a doubling-based cap used to leave residual
+        truncation at million-vertex scale)."""
+        if self._index is None:
             return False
         if isinstance(self._index, span_mod.SpanIndex):
-            if not self._index.can_grow():
-                return False  # windows already cover every group entirely
-            # adaptive growth: measure the CURRENT positions' per-pair
-            # window needs (host numpy, one device->host transfer) and
-            # widen exactly the starved windows — one rebuild instead of
+            if self._growth_events >= 200 or not self._index.can_grow():
+                return False  # covering every group, or runaway guard
+            # adaptive growth: measure the CURRENT positions' per-window
+            # needs (host numpy, one device->host transfer) and widen
+            # exactly the starved windows — one rebuild instead of
             # O(log) blind doublings
             needs, _ = span_mod.measure_needs_host(
                 np.asarray(self._state.positions, np.float64),
@@ -208,10 +210,14 @@ class WEmbedEmbedder:
                 self._index,
                 self.opts,
             )
-            grown = self._index.grow_from_needs(needs)
+            grown = self._index.grow_from_needs(needs, headroom=1.5)
+            if grown is None:
+                # device reported overflow but host needs say covered:
+                # projection axes diverged — fall back to device truth
+                grown = self._index.grow_all()
             if grown is None:
                 return False
-            self._span_scale *= 2.0  # bookkeeping only: caps total growth
+            self._growth_events += 1
             same_bucket = grown.w_pad == self._index.w_pad
             self._index = grown
             self._tables = grown.device_tables()
@@ -222,6 +228,8 @@ class WEmbedEmbedder:
                 self._jitted_step = jax.jit(self._step_fn)
             self._phase_fns = None
             return True
+        if self._span_scale >= 1024:
+            return False  # BucketIndex growth recompiles; keep it bounded
         if all(
             b.span >= b.sample_size for b in self._index.buckets
         ):

@@ -53,13 +53,28 @@ def csr_segment_sum(values, row_ptr, offset=None):
     traced — the sharded-chunk case; None means 0); ``row_ptr`` is the
     (n+1,) CSR boundary array.  Rows outside every [row_ptr[v],
     row_ptr[v+1]) — e.g. the padded tail — are excluded by construction.
-    Integer inputs are exact; float inputs carry O(eps * |prefix|) error
-    from the prefix, comparable to any other summation order's noise."""
+
+    Integer inputs are exact.  A boundary diff's float error scales with
+    the GLOBAL prefix magnitude (~typ*sqrt(E) random walk), not the
+    per-vertex degree a direct scatter would give, so when x64 is
+    enabled (parity/CPU mode, where exactness is the point) the prefix
+    accumulates in f64 and casts back — error below f32 resolution at
+    any scale.  In f32 production mode the relative error is
+    ~eps32*sqrt(E)/degree (≈7e-5 of a low-degree vertex's force at
+    E=2e8): documented noise of the same order as the hinge-force f32
+    chaos, traded for removing the serializing scatter."""
     k = values.shape[0]
+    acc_dtype = (
+        jnp.float64
+        if jnp.issubdtype(values.dtype, jnp.floating)
+        and values.dtype != jnp.float64
+        and jax.config.jax_enable_x64
+        else values.dtype
+    )
     cz = jnp.concatenate(
         [
-            jnp.zeros((1,) + values.shape[1:], values.dtype),
-            jnp.cumsum(values, axis=0),
+            jnp.zeros((1,) + values.shape[1:], acc_dtype),
+            jnp.cumsum(values.astype(acc_dtype), axis=0),
         ]
     )
     if offset is None:
@@ -68,7 +83,7 @@ def csr_segment_sum(values, row_ptr, offset=None):
     else:
         lo = jnp.clip(row_ptr[:-1] - offset, 0, k)
         hi = jnp.clip(row_ptr[1:] - offset, 0, k)
-    return cz[hi] - cz[lo]
+    return (cz[hi] - cz[lo]).astype(values.dtype)
 
 
 # ---------------------------------------------------------------- attraction

@@ -91,6 +91,9 @@ class HaloPlan:
     edge_dst_global: np.ndarray  # (P, E_s) int32 (for replicated inv_w/color)
     edge_mask: np.ndarray  # (P, E_s) bool
     send_idx: np.ndarray  # (P, P, H) int32: [owner, requester] -> local rows
+    local_row_ptr: np.ndarray  # (P, R+1) int32 CSR offsets into the shard's
+    # local edge slice (edges are local-src-sorted; enables the cumsum
+    # segment reduction instead of a serializing scatter)
 
     @staticmethod
     def build(graph: CSRGraph, num_shards: int) -> "HaloPlan":
@@ -127,10 +130,14 @@ class HaloPlan:
         edst_g = np.zeros((Pn, E_s), np.int32)
         emask = np.zeros((Pn, E_s), bool)
         send_idx = np.zeros((Pn, Pn, H), np.int32)
+        local_row_ptr = np.zeros((Pn, R + 1), np.int32)
         for p in range(Pn):
             lo, hi = bounds[p], bounds[p + 1]
             k = hi - lo
             esrc_l[p, :k] = src[lo:hi] - p * R
+            local_row_ptr[p] = np.searchsorted(
+                esrc_l[p, :k], np.arange(R + 1)
+            )
             edst_g[p, :k] = dst[lo:hi]
             emask[p, :k] = True
             ext = np.zeros(k, np.int64)
@@ -152,6 +159,7 @@ class HaloPlan:
             n=n, n_pad=n_pad, R=R, P=Pn, H=H, E_s=E_s,
             edge_src_local=esrc_l, edge_dst_ext=edst_ext,
             edge_dst_global=edst_g, edge_mask=emask, send_idx=send_idx,
+            local_row_ptr=local_row_ptr,
         )
 
 
@@ -203,16 +211,16 @@ def build_halo_step(
     plan_dev = jax.tree.map(
         lambda a: jax.device_put(jnp.asarray(a), row_sharding),
         (plan.edge_src_local, plan.edge_dst_ext, plan.edge_dst_global,
-         plan.edge_mask, plan.send_idx),
+         plan.edge_mask, plan.send_idx, plan.local_row_ptr),
     )
 
-    def halo_step(state, weights, inv_w, tables, echunk, esrc_l, edst_ext, edst_g, emask, send_idx):
+    def halo_step(state, weights, inv_w, tables, echunk, esrc_l, edst_ext, edst_g, emask, send_idx, row_ptr_l):
         """Runs per device inside shard_map.  state arrays are the LOCAL
         row slices (R, ...); weights/inv_w/tables are replicated;
         ``echunk`` (span path) is this device's O(E/P) slice of the
         correction-edge tables."""
         esrc_l, edst_ext, edst_g = esrc_l[0], edst_ext[0], edst_g[0]
-        emask, send_idx = emask[0], send_idx[0]
+        emask, send_idx, row_ptr_l = emask[0], send_idx[0], row_ptr_l[0]
         if echunk is not None:
             echunk = span_mod.EdgeChunk(*(a[0] for a in echunk))
         p = lax.axis_index(axis_name)
@@ -253,9 +261,9 @@ def build_halo_step(
             lax.psum(jnp.any(zero).astype(jnp.int32), axis_name) > 0,
             with_edge_kicks, lambda f: f, force_e,
         )
-        force_l = jax.ops.segment_sum(
-            force_e, esrc_l, num_segments=R, indices_are_sorted=True
-        )
+        # local edges are local-src-sorted: cumsum + CSR boundary diff
+        # instead of the scatter segment_sum lowers to
+        force_l = forces.csr_segment_sum(force_e, row_ptr_l)
         att_loss = lax.psum(
             jnp.sum(
                 jnp.where(att_active, dist - opts.edge_length / ws, 0.0),
@@ -373,7 +381,7 @@ def build_halo_step(
         halo_step,
         mesh=mesh,
         in_specs=(state_specs, P(), P(), P(), P(axis_name))
-        + (P(axis_name),) * 5,
+        + (P(axis_name),) * 6,
         out_specs=state_specs,
         check_vma=False,
     )
@@ -478,6 +486,7 @@ class HaloEmbedder:
             weights_mod.inv_exp_weights(self._weights_np, dim), dtype=self._dtype
         )
         self._span_scale = 1.0
+        self._growth_events = 0
         self._step, self.plan, self._dg, self._index, self._shard_state = (
             build_halo_step(graph, self.opts, self._weights_np, self.mesh)
         )
@@ -552,12 +561,18 @@ class HaloEmbedder:
     def _grow_spans(self) -> bool:
         if not isinstance(self._index, span_mod.SpanIndex):
             return False
-        if self._span_scale >= 2**20 or not self._index.can_grow():
-            return False
-        grown = self._index.grow_from_needs(self._measure_needs()[0])
+        if self._growth_events >= 200 or not self._index.can_grow():
+            return False  # covering every group, or runaway guard
+        grown = self._index.grow_from_needs(
+            self._measure_needs()[0], headroom=1.5
+        )
+        if grown is None:
+            # device overflow with host-covered needs: axes diverged —
+            # fall back to device truth (blind doubling)
+            grown = self._index.grow_all()
         if grown is None:
             return False
-        self._span_scale *= 2.0
+        self._growth_events += 1
         self._swap_index(grown)
         return True
 
@@ -682,6 +697,7 @@ class HaloEmbedder:
             weights_mod.inv_exp_weights(w, dim), dtype=self._dtype
         )
         self._span_scale = 1.0
+        self._growth_events = 0
         self._step, self.plan, self._dg, self._index, self._shard_state = (
             build_halo_step(self.graph, self.opts, self._weights_np, self.mesh)
         )

@@ -177,6 +177,7 @@ class MultiChipEmbedder:
             weights_mod.inv_exp_weights(self._weights_np, dim), dtype=self._dtype
         )
         self._span_scale = 1.0
+        self._growth_events = 0
         self._run, self._dg, self._index = build_multichip_step(
             graph, self.opts, self._weights_np, self.mesh
         )
@@ -238,12 +239,18 @@ class MultiChipEmbedder:
     def _grow_spans(self) -> bool:
         if not isinstance(self._index, span_mod.SpanIndex):
             return False
-        if self._span_scale >= 2**20 or not self._index.can_grow():
-            return False
-        grown = self._index.grow_from_needs(self._measure_needs()[0])
+        if self._growth_events >= 200 or not self._index.can_grow():
+            return False  # covering every group, or runaway guard
+        grown = self._index.grow_from_needs(
+            self._measure_needs()[0], headroom=1.5
+        )
+        if grown is None:
+            # device overflow with host-covered needs: axes diverged —
+            # fall back to device truth (blind doubling)
+            grown = self._index.grow_all()
         if grown is None:
             return False
-        self._span_scale *= 2.0
+        self._growth_events += 1
         self._swap_index(grown)
         return True
 
@@ -351,6 +358,7 @@ class MultiChipEmbedder:
             weights_mod.inv_exp_weights(w, d), dtype=self._dtype
         )
         self._span_scale = 1.0
+        self._growth_events = 0
         self._run, self._dg, self._index = build_multichip_step(
             self.graph, self.opts, self._weights_np, self.mesh
         )

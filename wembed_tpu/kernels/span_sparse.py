@@ -266,6 +266,25 @@ class SpanIndex:
             return None
         return self._with_blk_t(t_new)
 
+    def grow_all(self) -> "SpanIndex | None":
+        """Blind doubling of every window (zero-tile windows get 1).
+
+        Device-truth fallback: the growth protocol sizes windows from the
+        HOST needs measurement, whose projection axis is an independent
+        power iteration — if host and device axes diverge (near-equal top
+        eigenvalues), the host can report full coverage while the device
+        still overflows.  Callers use this when ``grow_from_needs``
+        returns None but the device reported overflow, guaranteeing
+        progress toward full-group coverage regardless of axis
+        agreement."""
+        t_new = np.minimum(
+            np.maximum(self.blk_t.astype(np.int64) * 2, 1),
+            self.group_tiles[None, :],
+        )
+        if np.array_equal(t_new, self.blk_t):
+            return None
+        return self._with_blk_t(t_new)
+
     def resize_to_needs(
         self, needs: np.ndarray, headroom: float = 1.3
     ) -> "SpanIndex | None":
@@ -287,21 +306,6 @@ class SpanIndex:
             0,
         )
         t_new = np.minimum(t_new, self.group_tiles[None, :])
-        if np.array_equal(t_new, self.blk_t):
-            return None
-        return self._with_blk_t(t_new)
-
-    def shrink_empty(self, needs: np.ndarray) -> "SpanIndex | None":
-        """Drop the 1-tile floor for (query block, target group) windows
-        with ZERO measured need.  Safe: a window whose need later becomes
-        positive has zero coverage, so every one of its candidates counts
-        as overflow and triggers regrowth (``grow_from_needs`` then sizes
-        it from the measured need).
-
-        Meant to be called once at pre-size time; returns None if nothing
-        shrinks."""
-        needs = np.asarray(needs)
-        t_new = np.where(needs == 0, 0, self.blk_t)
         if np.array_equal(t_new, self.blk_t):
             return None
         return self._with_blk_t(t_new)
@@ -1127,6 +1131,90 @@ def _csr_segment_sum(values, row_ptr, offset=None):
     return csr_segment_sum(values, row_ptr, offset)
 
 
+class _EdgeSlice(NamedTuple):
+    """This device's view of the directed correction-edge tables (the
+    whole table when unsharded)."""
+
+    src: jax.Array
+    dst: jax.Array
+    mask: jax.Array
+    dst_group: jax.Array
+    bmaxpow: jax.Array
+    e_off: jax.Array | None  # global position of row 0 (traced; None = 0)
+    e_sel: jax.Array | None  # global row per slot (for kick parity)
+    overflow: jax.Array  # device-0-only overflow scalar
+
+
+def _slice_edge_tables(idx, structures, shard, edge_chunk=None) -> _EdgeSlice:
+    """Resolve the correction pass's edge tables for this device: the
+    pre-sharded O(E/P) chunk when provided, an in-trace contiguous slice
+    under shard_map otherwise, or the full tables single-chip.  The
+    clamped tail of an in-trace slice repeats the LAST edge (src = n-1,
+    the sorted max) so chunks stay src-sorted for the segment sums;
+    repeated rows are masked out.  ``overflow`` (identical on every
+    device) is zeroed off device 0 so the caller's psum totals once."""
+    overflow = structures.overflow
+    if edge_chunk is not None:
+        assert shard is not None, "edge_chunk requires shard"
+        axis_name, _ = shard
+        sidx = lax.axis_index(axis_name)
+        return _EdgeSlice(
+            src=edge_chunk.src,
+            dst=edge_chunk.dst,
+            mask=edge_chunk.mask,
+            dst_group=edge_chunk.dst_group,
+            bmaxpow=edge_chunk.bmaxpow,
+            e_off=sidx * edge_chunk.src.shape[0],
+            e_sel=None,
+            overflow=jnp.where(sidx == 0, overflow, 0),
+        )
+    esrc = jnp.asarray(idx.edge_src)
+    edst = jnp.asarray(idx.edge_dst)
+    emask = jnp.asarray(idx.edge_mask)
+    eg = jnp.asarray(idx.edge_dst_group)
+    bmaxpow = jnp.asarray(idx.edge_bmaxpow)
+    if shard is None:
+        return _EdgeSlice(esrc, edst, emask, eg, bmaxpow, None, None, overflow)
+    axis_name, num_shards = shard
+    e_full = int(esrc.shape[0])
+    e_dev = -(-e_full // num_shards)
+    sidx = lax.axis_index(axis_name)
+    e_off = sidx * e_dev
+    offs = e_off + jnp.arange(e_dev, dtype=jnp.int32)
+    in_range = offs < e_full
+    e_sel = jnp.minimum(offs, e_full - 1)
+    return _EdgeSlice(
+        src=esrc[e_sel],
+        dst=edst[e_sel],
+        mask=emask[e_sel] & in_range,
+        dst_group=eg[e_sel],
+        bmaxpow=bmaxpow[e_sel],
+        e_off=e_off,
+        e_sel=e_sel,
+        overflow=jnp.where(sidx == 0, overflow, 0),
+    )
+
+
+def _edge_inclusion(structures, tables, es: _EdgeSlice, b, colors, dist2):
+    """Which edges' endpoints the kernel counted as candidates — the
+    correction must mirror the kernel's inclusion EXACTLY (same per-class
+    radius product, same covered tile windows, same color filter).
+    Coverage start AND length both come from traced per-(block, group)
+    tables, so every window resize is a zero-recompile swap."""
+    r_e = structures.lwpow[es.src] * es.bmaxpow
+    cov_pair = structures.block_of[es.src] * b + es.dst_group
+    cov_start = structures.start_tile.reshape(-1)[cov_pair] * _ST
+    cov_len_e = tables.blk_t.reshape(-1)[cov_pair] * _ST
+    rank = structures.rank_of[es.dst]
+    return (
+        es.mask
+        & (dist2 <= r_e * r_e)
+        & (rank >= cov_start)
+        & (rank < cov_start + cov_len_e)
+        & (colors[es.src] != colors[es.dst])
+    )
+
+
 # ------------------------------------------------------------ full wrapper
 
 
@@ -1218,69 +1306,34 @@ def span_fused_forces(
         structures, idx, opts, tables, interpret, shard=shard
     )
 
-    esrc = jnp.asarray(idx.edge_src)
-    edst = jnp.asarray(idx.edge_dst)
-    emask = jnp.asarray(idx.edge_mask)
-    eg = jnp.asarray(idx.edge_dst_group)
-    edge_bmaxpow = jnp.asarray(idx.edge_bmaxpow)
-    e_full = int(esrc.shape[0])
-    kick_shape = e_full
-    e_sel = None
-    e_off = None
-    overflow = structures.overflow
-    if shard is not None:
-        axis_name, num_shards = shard
-        e_dev = -(-e_full // num_shards)
-        sidx = lax.axis_index(axis_name)
-        e_off = sidx * e_dev
-        offs = e_off + jnp.arange(e_dev, dtype=jnp.int32)
-        in_range = offs < e_full
-        e_sel = jnp.minimum(offs, e_full - 1)
-        # clamped tail repeats the LAST edge (src = n-1, the sorted max),
-        # so the chunk stays src-sorted for the segment sums; masked out
-        esrc = esrc[e_sel]
-        edst = edst[e_sel]
-        emask = emask[e_sel] & in_range
-        eg = eg[e_sel]
-        edge_bmaxpow = edge_bmaxpow[e_sel]
-        overflow = jnp.where(sidx == 0, overflow, 0)
+    es = _slice_edge_tables(idx, structures, shard)
+    kick_shape = int(idx.edge_src.shape[0])
     row_ptr = jnp.asarray(idx.edge_row_ptr)
     b = idx.num_groups
 
     pos32 = positions.astype(f32)
-    psrc = pos32[esrc]
-    pdst = pos32[edst]
+    psrc = pos32[es.src]
+    pdst = pos32[es.dst]
     diff = pdst - psrc
     dist2 = jnp.sum(diff * diff, axis=-1)
     iw = inv_w.astype(f32)
-    ws = (iw[esrc] + iw[edst]) if opts.additive_weights else (iw[esrc] * iw[edst])
+    ws = (
+        (iw[es.src] + iw[es.dst])
+        if opts.additive_weights
+        else (iw[es.src] * iw[es.dst])
+    )
     posd = dist2 > 0
     dist = jnp.sqrt(dist2)
     inv_dist = f32(1.0) / jnp.maximum(dist, f32(1e-30))
 
     # attraction hinge (strictly beyond edge length pulls)
-    act_a = (dist * ws > f32(L)) & emask
+    act_a = (dist * ws > f32(L)) & es.mask
     ca = jnp.where(act_a, f32(opts.attraction_scale) * ws * inv_dist, 0.0)
     att_loss = jnp.sum(
         jnp.where(act_a, dist - f32(L) / ws, 0.0), dtype=f32
     )
 
-    # correction: mirrors the kernel's inclusion exactly (same radius
-    # product, same covered tile windows, same color filter).  Coverage
-    # start AND length both come from traced per-(block, group) tables,
-    # so every window resize is a zero-recompile swap.
-    r_e = structures.lwpow[esrc] * edge_bmaxpow
-    cov_pair = structures.block_of[esrc] * b + eg
-    cov_start = structures.start_tile.reshape(-1)[cov_pair] * _ST
-    cov_len_e = tables.blk_t.reshape(-1)[cov_pair] * _ST
-    rank = structures.rank_of[edst]
-    included = (
-        emask
-        & (dist2 <= r_e * r_e)
-        & (rank >= cov_start)
-        & (rank < cov_start + cov_len_e)
-        & (colors[esrc] != colors[edst])
-    )
+    included = _edge_inclusion(structures, tables, es, b, colors, dist2)
     act_r = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
     cr = jnp.where(act_r, f32(opts.repulsion_scale) * ws * inv_dist, 0.0)
     rep_loss = rep_loss - jnp.sum(
@@ -1292,7 +1345,7 @@ def span_fused_forces(
     # coincident edge endpoints: random unit kick on the attraction side
     # (NewWEmbedEmbedder.cpp:197-200); the correction is zero there (the
     # kernel's active set requires positive distance)
-    zero_e = (~posd) & emask
+    zero_e = (~posd) & es.mask
 
     def with_kicks(f):
         from ..core import forces as forces_mod
@@ -1301,21 +1354,21 @@ def span_fused_forces(
         # slice this device's chunk) so sharded trajectories match the
         # single-chip path bit-for-bit even through coincident kicks
         kicks = forces_mod.random_unit_vectors(att_key, (kick_shape,), d, f32)
-        if e_sel is not None:
-            kicks = kicks[e_sel]
+        if es.e_sel is not None:
+            kicks = kicks[es.e_sel]
         return jnp.where(zero_e[:, None], kicks, f)
 
     net_e = lax.cond(jnp.any(zero_e), with_kicks, lambda f: f, net_e)
     # src-sorted edges: cumsum + CSR boundary diff instead of the scatter
     # that segment_sum lowers to (XLA-TPU scatter serializes per row)
-    force_e = _csr_segment_sum(net_e, row_ptr, e_off)
+    force_e = _csr_segment_sum(net_e, row_ptr, es.e_off)
     # coincident neighbor pairs are measure-zero configurations: pay the
     # extra cumsum pass over E only when one exists
     corr_zero_mask = included & ~posd
 
     def subtract_zero_corr(zc):
         return zc - _csr_segment_sum(
-            corr_zero_mask.astype(jnp.int32), row_ptr, e_off
+            corr_zero_mask.astype(jnp.int32), row_ptr, es.e_off
         )
 
     zero_count = lax.cond(
@@ -1327,7 +1380,7 @@ def span_fused_forces(
         att_loss,
         rep_loss,
         rep_count,
-        overflow,
+        es.overflow,
         zero_count,
     )
 
@@ -1383,66 +1436,23 @@ def span_repulsion_forces(
 
     # ---- O(E) neighbor correction (reference filters candidates by
     # areNeighbors at query time, NewWEmbedEmbedder.cpp:328).  Inclusion
-    # mirrors the kernel exactly: same radius product form, same covered
-    # tile windows; the force is removed in the kernel's own algebraic
-    # form (q*rowsum_corr - acc_corr).
-    overflow = structures.overflow
-    if edge_chunk is not None:
-        assert shard is not None, "edge_chunk requires shard"
-        axis_name, _ = shard
-        sidx = lax.axis_index(axis_name)
-        esrc = edge_chunk.src
-        edst = edge_chunk.dst
-        emask = edge_chunk.mask
-        eg = edge_chunk.dst_group
-        edge_bmaxpow = edge_chunk.bmaxpow
-        e_off = sidx * esrc.shape[0]
-        overflow = jnp.where(sidx == 0, overflow, 0)
-    else:
-        esrc = jnp.asarray(idx.edge_src)
-        edst = jnp.asarray(idx.edge_dst)
-        emask = jnp.asarray(idx.edge_mask)
-        eg = jnp.asarray(idx.edge_dst_group)
-        edge_bmaxpow = jnp.asarray(idx.edge_bmaxpow)
-        e_off = None
-        if shard is not None:
-            axis_name, num_shards = shard
-            e_full = int(esrc.shape[0])
-            e_dev = -(-e_full // num_shards)
-            sidx = lax.axis_index(axis_name)
-            e_off = sidx * e_dev
-            offs = e_off + jnp.arange(e_dev, dtype=jnp.int32)
-            in_range = offs < e_full
-            e_sel = jnp.minimum(offs, e_full - 1)
-            esrc = esrc[e_sel]
-            edst = edst[e_sel]
-            emask = emask[e_sel] & in_range
-            eg = eg[e_sel]
-            edge_bmaxpow = edge_bmaxpow[e_sel]
-            overflow = jnp.where(sidx == 0, overflow, 0)
+    # mirrors the kernel exactly (see _edge_inclusion); the force is
+    # removed in the kernel's own algebraic form (q*rowsum_corr -
+    # acc_corr).
+    es = _slice_edge_tables(idx, structures, shard, edge_chunk)
     row_ptr = jnp.asarray(idx.edge_row_ptr)
     b = idx.num_groups
 
-    psrc = positions.astype(f32)[esrc]
-    pdst = positions.astype(f32)[edst]
+    psrc = positions.astype(f32)[es.src]
+    pdst = positions.astype(f32)[es.dst]
     diff = psrc - pdst
     dist2 = jnp.sum(diff * diff, axis=-1)
-    r_e = structures.lwpow[esrc] * edge_bmaxpow
-    cov_pair = structures.block_of[esrc] * b + eg
-    cov_start = structures.start_tile.reshape(-1)[cov_pair] * _ST
-    cov_len_e = tables.blk_t.reshape(-1)[cov_pair] * _ST
-    rank = structures.rank_of[edst]
-    included = (
-        emask
-        & (dist2 <= r_e * r_e)
-        & (rank >= cov_start)
-        & (rank < cov_start + cov_len_e)
-        & (colors[esrc] != colors[edst])
-    )
+    included = _edge_inclusion(structures, tables, es, b, colors, dist2)
+    iw = inv_w.astype(f32)
     ws = (
-        (inv_w.astype(f32)[esrc] + inv_w.astype(f32)[edst])
+        (iw[es.src] + iw[es.dst])
         if opts.additive_weights
-        else (inv_w.astype(f32)[esrc] * inv_w.astype(f32)[edst])
+        else (iw[es.src] * iw[es.dst])
     )
     posd = dist2 > 0
     active = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
@@ -1450,18 +1460,18 @@ def span_repulsion_forces(
     inv_dist = f32(1.0) / jnp.maximum(dist, f32(1e-30))
     coeff = jnp.where(active, f32(opts.repulsion_scale) * ws * inv_dist, 0.0)
     # src-sorted edges: cumsum + CSR boundary diff replaces the scatters
-    rc = _csr_segment_sum(coeff, row_ptr, e_off)
-    ac = _csr_segment_sum(coeff[:, None] * pdst, row_ptr, e_off)
+    rc = _csr_segment_sum(coeff, row_ptr, es.e_off)
+    ac = _csr_segment_sum(coeff[:, None] * pdst, row_ptr, es.e_off)
     force = force - (positions.astype(f32) * rc[:, None] - ac)
     loss = loss - jnp.sum(jnp.where(active, f32(L) / ws - dist, 0.0), dtype=f32)
     count = count - jnp.sum(included, dtype=jnp.int32)
     zero_count = zero_count - _csr_segment_sum(
-        (included & ~posd).astype(jnp.int32), row_ptr, e_off
+        (included & ~posd).astype(jnp.int32), row_ptr, es.e_off
     )
     return (
         force.astype(dtype),
         loss,
         count,
-        overflow,
+        es.overflow,
         zero_count,
     )
