@@ -26,6 +26,7 @@ from . import step as step_mod
 from ..kernels import span_sparse as span_mod
 from . import weights as weights_mod
 from .options import EmbedderOptions, RepulsionMode
+from .span_driver import SpanGrowthMixin
 from .state import DeviceGraph, EmbedState, init_state, random_positions
 
 
@@ -47,7 +48,7 @@ class Loss:
         )
 
 
-class WEmbedEmbedder:
+class WEmbedEmbedder(SpanGrowthMixin):
     """Flat (single-level) embedder."""
 
     def __init__(
@@ -93,47 +94,24 @@ class WEmbedEmbedder:
         self._set_weights_internal(np.asarray(initial_weights, dtype=np.float64))
         self._presize_spans()
 
-    def _presize_spans(self) -> None:
-        """Widen span windows to the INITIAL positions' measured needs
-        before the first step, so even ``calculate_step``-driven runs start
-        untruncated (the reference's exact index never truncates; windows
-        starve most at the spread-out initial configuration)."""
-        if not isinstance(self._index, span_mod.SpanIndex):
-            return
-        grew = False
-        needs = None
-        # needs are measured on HOST (numpy mirror of the device
-        # searchsorted logic) — the eager device version cost ~80s of
-        # one-time remote compiles per source revision at 100K vertices
-        pos_np = np.asarray(self._state.positions, np.float64)
-        for _ in range(6):
-            needs, overflow = span_mod.measure_needs_host(
-                pos_np, self._weights_np, self._index, self.opts
-            )
-            if overflow == 0:
-                break
-            grown = self._index.grow_from_needs(needs)
-            if grown is None:
-                break
-            self._index = grown
-            grew = True
-        if needs is not None:
-            # two-sided resize: size every window to its measured need —
-            # the initial heuristic + group-level growth leave most
-            # windows over-provisioned (~3x total tiles on girg100k)
-            resized = self._index.resize_to_needs(needs)
-            if resized is not None:
-                self._index = resized
-                grew = True
-        if grew:
-            old_pad = None if self._tables is None else self._tables.wt_qblk.shape[0]
-            self._tables = self._index.device_tables()
-            if old_pad != self._index.w_pad:
-                self._step_fn = step_mod.build_step(
-                    self._dg, self.opts, self._index
-                )
-                self._jitted_step = jax.jit(self._step_fn)
-            self._phase_fns = None
+    # span growth protocol: SpanGrowthMixin (core/span_driver.py) —
+    # needs are measured on HOST (numpy mirror of the device searchsorted
+    # logic; the eager device version cost ~80s of one-time remote
+    # compiles per source revision at 100K vertices)
+    def _span_positions_np(self) -> np.ndarray:
+        return np.asarray(self._state.positions, np.float64)
+
+    def _swap_index(self, new_index) -> None:
+        """Install a resized span index; rebuild the step closure only
+        when the work list outgrew its padding bucket (shape change —
+        the only growth case that recompiles)."""
+        same_bucket = new_index.w_pad == self._index.w_pad
+        self._index = new_index
+        self._tables = new_index.device_tables()
+        if not same_bucket:
+            self._step_fn = step_mod.build_step(self._dg, self.opts, new_index)
+            self._jitted_step = jax.jit(self._step_fn)
+        self._phase_fns = None
 
     # -------------------------------------------------------------- internals
     def _set_weights_internal(self, w: np.ndarray) -> None:
@@ -182,54 +160,11 @@ class WEmbedEmbedder:
         self._jitted_step = jax.jit(self._step_fn)
         self._phase_fns = None  # rebuilt lazily on the next profiled step
 
-    def _grow_spans(self) -> bool:
-        """Widen candidate windows; returns True if grown.
-
-        The reference's exact radius index can never truncate; windows
-        that truncated at convergence are widened and the embedding
-        continues from the current state, so the FINAL state always
-        reflects the full candidate set (overflow == 0) or windows
-        already cover whole groups.  Span-path growth terminates
-        naturally via ``can_grow`` once every window spans its whole
-        target group; the event counter is only a runaway guard (needs
-        are a moving target, so legitimate runs take dozens of cheap
-        table-swap events — a doubling-based cap used to leave residual
-        truncation at million-vertex scale)."""
-        if self._index is None:
+    def _grow_spans_fallback(self) -> bool:
+        """BucketIndex growth: scale-doubling rebuild (recompiles, so the
+        cap stays tight; the span path never reaches here)."""
+        if self._index is None or self._span_scale >= 1024:
             return False
-        if isinstance(self._index, span_mod.SpanIndex):
-            if self._growth_events >= 200 or not self._index.can_grow():
-                return False  # covering every group, or runaway guard
-            # adaptive growth: measure the CURRENT positions' per-window
-            # needs (host numpy, one device->host transfer) and widen
-            # exactly the starved windows — one rebuild instead of
-            # O(log) blind doublings
-            needs, _ = span_mod.measure_needs_host(
-                np.asarray(self._state.positions, np.float64),
-                self._weights_np,
-                self._index,
-                self.opts,
-            )
-            grown = self._index.grow_from_needs(needs, headroom=1.5)
-            if grown is None:
-                # device reported overflow but host needs say covered:
-                # projection axes diverged — fall back to device truth
-                grown = self._index.grow_all()
-            if grown is None:
-                return False
-            self._growth_events += 1
-            same_bucket = grown.w_pad == self._index.w_pad
-            self._index = grown
-            self._tables = grown.device_tables()
-            if not same_bucket:
-                # work list outgrew its padding bucket: this is the only
-                # growth case that recompiles (shapes changed)
-                self._step_fn = step_mod.build_step(self._dg, self.opts, grown)
-                self._jitted_step = jax.jit(self._step_fn)
-            self._phase_fns = None
-            return True
-        if self._span_scale >= 1024:
-            return False  # BucketIndex growth recompiles; keep it bounded
         if all(
             b.span >= b.sample_size for b in self._index.buckets
         ):
@@ -399,12 +334,7 @@ class WEmbedEmbedder:
                         # widen truncated windows immediately (same
                         # protocol as the device-loop path below)
                         if int(self._state.overflow) > 0 and self._grow_spans():
-                            if self.verbose:
-                                print(
-                                    "(growing candidate spans to "
-                                    f"x{self._span_scale:g} after overflow "
-                                    f"{int(self._state.overflow)})"
-                                )
+                            self._announce_growth(int(self._state.overflow))
                             self._state = self._state._replace(
                                 overflow=jnp.asarray(0, jnp.int32)
                             )
@@ -446,11 +376,7 @@ class WEmbedEmbedder:
                 if int(self._state.overflow) == 0:
                     break  # genuinely converged, no truncation
                 if self._grow_spans():
-                    if self.verbose:
-                        print(
-                            f"(growing candidate spans to x{self._span_scale:g} "
-                            f"after overflow {int(self._state.overflow)})"
-                        )
+                    self._announce_growth(int(self._state.overflow))
                 else:
                     if not stop_on_overflow:
                         break  # already converged under residual truncation

@@ -59,6 +59,7 @@ from ..core import forces
 from ..core import step as step_mod
 from ..core.optim import AdamParams
 from ..core.options import EmbedderOptions, RepulsionMode
+from ..core.span_driver import SpanGrowthMixin
 from ..core.state import DeviceGraph, EmbedState, init_state, random_positions
 from ..graphs.csr import CSRGraph
 from ..kernels import span_sparse as span_mod
@@ -448,7 +449,7 @@ def halo_run_embedding(
     )
 
 
-class HaloEmbedder:
+class HaloEmbedder(SpanGrowthMixin):
     """Host driver for the vertex-sharded backend — the multi-device
     counterpart of WEmbedEmbedder for graphs whose state exceeds one
     device's memory.  Public surface mirrors the reference Embedder
@@ -520,13 +521,9 @@ class HaloEmbedder:
             *(jax.device_put(jnp.asarray(a), rs) for a in chunks)
         )
 
-    # ---------------------------------------------------------- span growth
-    def _measure_needs(self):
-        """Host-side window needs at the current positions (numpy mirror
-        of the device searchsorted logic — zero device compiles)."""
-        return span_mod.measure_needs_host(
-            self.get_coordinates(), self._weights_np, self._index, self.opts
-        )
+    # span growth protocol: SpanGrowthMixin (core/span_driver.py)
+    def _span_positions_np(self):
+        return self.get_coordinates()
 
     def _swap_index(self, new_index) -> None:
         same_bucket = new_index.w_pad == self._index.w_pad
@@ -539,42 +536,6 @@ class HaloEmbedder:
                     index=new_index,
                 )
             )
-
-    def _presize_spans(self) -> None:
-        if not isinstance(self._index, span_mod.SpanIndex):
-            return
-        needs = None
-        for _ in range(6):
-            needs, overflow = self._measure_needs()
-            if overflow == 0:
-                break
-            grown = self._index.grow_from_needs(needs)
-            if grown is None:
-                break
-            self._swap_index(grown)
-        if needs is not None:
-            # two-sided resize: size every window to its measured need
-            resized = self._index.resize_to_needs(needs)
-            if resized is not None:
-                self._swap_index(resized)
-
-    def _grow_spans(self) -> bool:
-        if not isinstance(self._index, span_mod.SpanIndex):
-            return False
-        if self._growth_events >= 200 or not self._index.can_grow():
-            return False  # covering every group, or runaway guard
-        grown = self._index.grow_from_needs(
-            self._measure_needs()[0], headroom=1.5
-        )
-        if grown is None:
-            # device overflow with host-covered needs: axes diverged —
-            # fall back to device truth (blind doubling)
-            grown = self._index.grow_all()
-        if grown is None:
-            return False
-        self._growth_events += 1
-        self._swap_index(grown)
-        return True
 
     # ------------------------------------------------------------ embedding
     @property
@@ -609,11 +570,7 @@ class HaloEmbedder:
             )
             self._state.positions.block_until_ready()
         if int(self._state.overflow) > 0 and self._grow_spans():
-            if self.verbose:
-                print(
-                    f"(growing candidate spans to x{self._span_scale:g} "
-                    f"after overflow {int(self._state.overflow)})"
-                )
+            self._announce_growth(int(self._state.overflow))
             self._state = self._state._replace(
                 overflow=jnp.asarray(0, jnp.int32)
             )
@@ -642,11 +599,7 @@ class HaloEmbedder:
                 if int(self._state.overflow) == 0:
                     break
                 if self._grow_spans():
-                    if self.verbose:
-                        print(
-                            f"(growing candidate spans to x{self._span_scale:g} "
-                            f"after overflow {int(self._state.overflow)})"
-                        )
+                    self._announce_growth(int(self._state.overflow))
                 else:
                     if not stop_on_overflow:
                         break

@@ -44,6 +44,7 @@ from ..core import candidates as cand_mod
 from ..core import step as step_mod
 from ..core import weights as weights_mod
 from ..core.options import EmbedderOptions, RepulsionMode
+from ..core.span_driver import SpanGrowthMixin
 from ..core.state import DeviceGraph, EmbedState, init_state, random_positions
 from ..graphs.csr import CSRGraph
 from ..kernels import span_sparse as span_mod
@@ -143,7 +144,7 @@ def multichip_run_embedding(
     return lax.while_loop(cond, body, state)
 
 
-class MultiChipEmbedder:
+class MultiChipEmbedder(SpanGrowthMixin):
     """Host driver for the replicated-state sharded backend: the
     multi-device counterpart of ``WEmbedEmbedder`` with the same public
     surface (reference include/wembed.h:105-145)."""
@@ -193,16 +194,9 @@ class MultiChipEmbedder:
         )
         self._presize_spans()
 
-    # ---------------------------------------------------------- span growth
-    def _measure_needs(self):
-        """Host-side window needs at the current positions (numpy mirror
-        of the device searchsorted logic — zero device compiles)."""
-        return span_mod.measure_needs_host(
-            np.asarray(self._state.positions, np.float64),
-            self._weights_np,
-            self._index,
-            self.opts,
-        )
+    # span growth protocol: SpanGrowthMixin (core/span_driver.py)
+    def _span_positions_np(self):
+        return np.asarray(self._state.positions, np.float64)
 
     def _swap_index(self, new_index) -> None:
         """Install a regrown span index; rebuild the sharded step only when
@@ -216,44 +210,6 @@ class MultiChipEmbedder:
                 index=new_index,
             )
 
-    def _presize_spans(self) -> None:
-        """Widen span windows to the initial positions' measured needs
-        (same protocol as WEmbedEmbedder._presize_spans)."""
-        if not isinstance(self._index, span_mod.SpanIndex):
-            return
-        needs = None
-        for _ in range(6):
-            needs, overflow = self._measure_needs()
-            if overflow == 0:
-                break
-            grown = self._index.grow_from_needs(needs)
-            if grown is None:
-                break
-            self._swap_index(grown)
-        if needs is not None:
-            # two-sided resize: size every window to its measured need
-            resized = self._index.resize_to_needs(needs)
-            if resized is not None:
-                self._swap_index(resized)
-
-    def _grow_spans(self) -> bool:
-        if not isinstance(self._index, span_mod.SpanIndex):
-            return False
-        if self._growth_events >= 200 or not self._index.can_grow():
-            return False  # covering every group, or runaway guard
-        grown = self._index.grow_from_needs(
-            self._measure_needs()[0], headroom=1.5
-        )
-        if grown is None:
-            # device overflow with host-covered needs: axes diverged —
-            # fall back to device truth (blind doubling)
-            grown = self._index.grow_all()
-        if grown is None:
-            return False
-        self._growth_events += 1
-        self._swap_index(grown)
-        return True
-
     # ------------------------------------------------------------ embedding
     def calculate_step(self) -> None:
         with self.timer.phase("step", "Embedding step"):
@@ -262,11 +218,7 @@ class MultiChipEmbedder:
             )
             self._state.positions.block_until_ready()
         if int(self._state.overflow) > 0 and self._grow_spans():
-            if self.verbose:
-                print(
-                    f"(growing candidate spans to x{self._span_scale:g} "
-                    f"after overflow {int(self._state.overflow)})"
-                )
+            self._announce_growth(int(self._state.overflow))
             self._state = self._state._replace(
                 overflow=jnp.asarray(0, jnp.int32)
             )
@@ -300,11 +252,7 @@ class MultiChipEmbedder:
                 if int(self._state.overflow) == 0:
                     break
                 if self._grow_spans():
-                    if self.verbose:
-                        print(
-                            f"(growing candidate spans to x{self._span_scale:g} "
-                            f"after overflow {int(self._state.overflow)})"
-                        )
+                    self._announce_growth(int(self._state.overflow))
                 else:
                     if not stop_on_overflow:
                         break
