@@ -228,7 +228,7 @@ def test_sharded_span_matches_single_chip():
         g, opts, initial_coordinates=coords, initial_weights=w, verbose=False
     )
     assert isinstance(single._index, span_mod.SpanIndex)
-    assert step_mod.resolve_fused_span(single._dg, opts, ("data", 8)) is not None
+    assert step_mod.resolve_fused_span(single._dg, opts) is not None
 
     from wembed_tpu.distributed.step import MultiChipEmbedder
 

@@ -133,7 +133,7 @@ class WEmbedEmbedder(SpanGrowthMixin):
         self._index = None
         mode = self.opts.resolve_repulsion_mode(self.graph.num_vertices)
         if self.opts.num_negative_samples < 0 and mode is RepulsionMode.BUCKET:
-            if step_mod.resolve_fused_span(self._dg, self.opts, None) is not None:
+            if step_mod.resolve_fused_span(self._dg, self.opts) is not None:
                 # fused Pallas span path (kernels/span_sparse.py): its own
                 # merged-group skeleton replaces the jnp BucketIndex
                 self._index = span_mod.SpanIndex.build(

@@ -67,13 +67,14 @@ def resolve_fused(dg: DeviceGraph, opts: EmbedderOptions, shard) -> str | None:
     return "compiled" if _tpu_backend() else None
 
 
-def resolve_fused_span(dg: DeviceGraph, opts: EmbedderOptions, shard) -> str | None:
+def resolve_fused_span(dg: DeviceGraph, opts: EmbedderOptions) -> str | None:
     """Whether the bucket path should use the fused span kernel.
 
     Returns None (off), "compiled", or "interpret".  Auto mode requires:
     bucket repulsion, no negative sampling, f32, full index
-    (index_size == 1), TPU backend.  Sharded steps partition the
-    work-tile list across the mesh (span_sparse._shard_work_tiles).
+    (index_size == 1), TPU backend.  Applicability is shard-independent:
+    sharded steps partition the work-tile list across the mesh
+    (span_sparse._shard_work_tiles).
     """
     mode = opts.resolve_repulsion_mode(dg.n)
     applicable = (
@@ -136,7 +137,7 @@ def build_phase_fns(
         "dense" if mode is RepulsionMode.DENSE else "bucket"
     )
     span_mode = (
-        resolve_fused_span(dg, opts, None)
+        resolve_fused_span(dg, opts)
         if repel_kind == "bucket" and isinstance(index, span_mod.SpanIndex)
         else None
     )
@@ -251,7 +252,7 @@ def build_step(
     mode = opts.resolve_repulsion_mode(dg.n)
     use_sampling = opts.num_negative_samples >= 0
     fused = resolve_fused(dg, opts, shard)
-    fused_span = resolve_fused_span(dg, opts, shard)
+    fused_span = resolve_fused_span(dg, opts)
     if not isinstance(index, span_mod.SpanIndex):
         # the caller built a jnp BucketIndex (or none) — the span kernel
         # needs its own skeleton, so fall back to the jnp bucket path

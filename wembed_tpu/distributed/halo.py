@@ -186,7 +186,7 @@ def build_halo_step(
     dense_adj = None
     span_mode = None
     if not use_sampling and mode is RepulsionMode.BUCKET:
-        span_mode = step_mod.resolve_fused_span(dg, opts, shard)
+        span_mode = step_mod.resolve_fused_span(dg, opts)
         if index is None:
             if span_mode is not None:
                 # fused span kernel for the repulsion pass: work-tile

@@ -60,7 +60,7 @@ def _build_index(graph, opts, weights_np, dg, shard, span_scale=1.0):
     mode = opts.resolve_repulsion_mode(graph.num_vertices)
     if opts.num_negative_samples >= 0 or mode is not RepulsionMode.BUCKET:
         return None
-    if step_mod.resolve_fused_span(dg, opts, shard) is not None:
+    if step_mod.resolve_fused_span(dg, opts) is not None:
         return span_mod.SpanIndex.build(
             weights_np, opts, graph.edge_src, graph.col_idx,
             span_scale=span_scale,
