@@ -267,19 +267,20 @@ class SpanIndex:
         return self._with_blk_t(t_new)
 
     def grow_all(self) -> "SpanIndex | None":
-        """Blind doubling of every window (zero-tile windows get 1).
+        """Widen every window by one tile (zero-tile windows get 1).
 
         Device-truth fallback: the growth protocol sizes windows from the
-        HOST needs measurement, whose projection axis is an independent
-        power iteration — if host and device axes diverge (near-equal top
-        eigenvalues), the host can report full coverage while the device
-        still overflows.  Callers use this when ``grow_from_needs``
-        returns None but the device reported overflow, guaranteeing
-        progress toward full-group coverage regardless of axis
-        agreement."""
+        HOST needs measurement, whose projection axis is a numpy replica
+        of the device's power iteration — if the axes still diverge
+        (rounding on near-equal top eigenvalues), the host can report
+        full coverage while the device overflows.  Callers use this when
+        ``grow_from_needs`` returns None but the device reported
+        overflow.  ADDITIVE on purpose: the divergence case needs a
+        margin around every window, and a multiplicative fallback was
+        measured doubling the whole work list (2.4x step cost) on one
+        bad event."""
         t_new = np.minimum(
-            np.maximum(self.blk_t.astype(np.int64) * 2, 1),
-            self.group_tiles[None, :],
+            self.blk_t.astype(np.int64) + 1, self.group_tiles[None, :]
         )
         if np.array_equal(t_new, self.blk_t):
             return None
@@ -518,14 +519,22 @@ def measure_needs_host(
     L = float(opts.edge_length)
     b, nb = idx.num_groups, idx.nb
 
-    centered = pos - pos.mean(axis=0)
-    cov = centered.T @ centered
-    v = np.full((d,), 1.0) + np.arange(d) * 1e-3
+    # power iteration in FLOAT32 to track the device's axis as closely as
+    # possible: with near-equal top eigenvalues (isotropic clouds, common
+    # at d >= 3) the iterate converges slowly and precision differences
+    # compound into materially different axes — f64 here once measured
+    # needs along a different projection than the device scans, starving
+    # windows the host believed covered
+    pos32 = pos.astype(np.float32)
+    centered32 = pos32 - pos32.mean(axis=0)
+    cov = (centered32.T @ centered32).astype(np.float32)
+    v = (np.full((d,), 1.0) + np.arange(d) * 1e-3).astype(np.float32)
     v /= np.linalg.norm(v)
     for _ in range(12):
         v2 = cov @ v
-        v = v2 / max(np.linalg.norm(v2), 1e-30)
-    proj = centered @ v
+        v = (v2 / max(np.linalg.norm(v2), 1e-30)).astype(np.float32)
+    centered = pos - pos.mean(axis=0)
+    proj = centered @ v.astype(np.float64)
 
     group = idx.group_of
     order = np.lexsort((proj, group))
