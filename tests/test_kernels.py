@@ -357,6 +357,7 @@ def test_span_query_smem_chunking_matches(monkeypatch):
     full = span_mod.span_query(s, idx, opts, interpret=True)
     assert idx.w_pad > 256  # the patched budget actually splits the list
     monkeypatch.setattr(span_mod, "_W_SMEM", 256)
+    monkeypatch.setattr(span_mod, "_W_SMEM_PACKED", 256)
     chunked = span_mod.span_query(s, idx, opts, interpret=True)
     np.testing.assert_allclose(
         np.asarray(chunked), np.asarray(full), rtol=1e-6, atol=1e-5

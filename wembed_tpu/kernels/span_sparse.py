@@ -1013,10 +1013,53 @@ def _shard_work_tiles(structures, idx, tables, shard):
 
 
 # scalar-prefetch tables live in SMEM (~1MB on v5e): bound the per-call
-# work-tile count so qblk/stile/first (3 x 4B x chunk) stay well inside
-# the budget; larger lists run as several calls of ONE compiled
-# executable whose masked partial outputs are summed
+# work-tile count so the tables stay well inside the budget; larger
+# lists run as several calls of ONE compiled executable whose masked
+# partial outputs are summed.  When the skeleton fits (qblk < 2^15,
+# stile < 2^15 — up to ~8M vertices), the three per-tile values pack
+# into ONE i32 [bit30: first | bits 15..29: qblk | bits 0..14: stile],
+# tripling the per-call budget (fewer calls = fewer per-chunk
+# (NB+1, Q, C) mask+sum passes, the dominant chunking cost at 1M).
 _W_SMEM = 32768
+_W_SMEM_PACKED = 98304
+
+
+def _span_kernel_packed(
+    packed_ref,  # scalar prefetch (W,) i32: first<<30 | qblk<<15 | stile
+    qdata_ref,
+    qcol_ref,
+    sdata_ref,
+    scol_ref,
+    out_ref,
+    *,
+    d: int,
+    c: int,
+    nb: int,
+    L: float,
+    rep_scale: float,
+    additive: bool,
+):
+    w = pl.program_id(0)
+    word = packed_ref[w]
+
+    @pl.when(((word >> 30) & 1) == 1)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(((word >> 15) & 0x7FFF) < nb)
+    def _compute():
+        _span_tile_body(
+            q=qdata_ref[0],
+            s=sdata_ref[:],
+            qcol=qcol_ref[0],
+            scol=scol_ref[:],
+            out_ref=out_ref,
+            d=d,
+            c=c,
+            L=L,
+            rep_scale=rep_scale,
+            additive=additive,
+        )
 
 
 def span_query(
@@ -1038,8 +1081,7 @@ def span_query(
     qblk, stile, first, grid_w = _shard_work_tiles(
         structures, idx, tables, shard
     )
-    kern = functools.partial(
-        _span_kernel,
+    kernel_args = dict(
         d=d,
         c=c,
         nb=idx.nb,
@@ -1047,6 +1089,30 @@ def span_query(
         rep_scale=float(opts.repulsion_scale),
         additive=bool(opts.additive_weights),
     )
+    common_call = dict(
+        out_shape=jax.ShapeDtypeStruct((idx.nb + 1, _Q, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+    def cost(grid_c):
+        return pl.CostEstimate(
+            flops=grid_c * _Q * _ST * (3 * d + 16),
+            bytes_accessed=grid_c * (_ST * (c + 1) + _Q * (c + 1)) * 4,
+            transcendentals=grid_c * _Q * _ST,
+        )
+
+    def masked(out, qblk_c):
+        visited = (
+            jnp.zeros((idx.nb + 1,), bool)
+            .at[qblk_c]
+            .set(True)
+            .at[idx.nb]
+            .set(False)
+        )
+        return jnp.where(visited[:, None, None], out, 0.0)
 
     def one_call(qblk_c, stile_c, first_c, grid_c):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1081,18 +1147,10 @@ def span_query(
             ),
         )
         out = pl.pallas_call(
-            kern,
+            functools.partial(_span_kernel, **kernel_args),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((idx.nb + 1, _Q, c), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=grid_c * _Q * _ST * (3 * d + 16),
-                bytes_accessed=grid_c * (_ST * (c + 1) + _Q * (c + 1)) * 4,
-                transcendentals=grid_c * _Q * _ST,
-            ),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=interpret,
+            cost_estimate=cost(grid_c),
+            **common_call,
         )(
             qblk_c,
             stile_c,
@@ -1102,33 +1160,79 @@ def span_query(
             structures.sdata,
             structures.scol,
         )
-        visited = (
-            jnp.zeros((idx.nb + 1,), bool)
-            .at[qblk_c]
-            .set(True)
-            .at[idx.nb]
-            .set(False)
+        return masked(out, qblk_c)
+
+    def one_call_packed(qblk_c, stile_c, first_c, grid_c):
+        packed = (first_c << 30) | (qblk_c << 15) | stile_c
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_c,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, _Q, c),
+                    lambda w, p: ((p[w] >> 15) & 0x7FFF, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _Q, 1),
+                    lambda w, p: ((p[w] >> 15) & 0x7FFF, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (c, _ST),
+                    lambda w, p: (0, p[w] & 0x7FFF),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _ST),
+                    lambda w, p: (0, p[w] & 0x7FFF),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _Q, c),
+                lambda w, p: ((p[w] >> 15) & 0x7FFF, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         )
-        return jnp.where(visited[:, None, None], out, 0.0)
+        out = pl.pallas_call(
+            functools.partial(_span_kernel_packed, **kernel_args),
+            grid_spec=grid_spec,
+            cost_estimate=cost(grid_c),
+            **common_call,
+        )(
+            packed,
+            structures.qdata,
+            structures.qcol,
+            structures.sdata,
+            structures.scol,
+        )
+        return masked(out, qblk_c)
 
-    if grid_w <= _W_SMEM:
-        return one_call(qblk, stile, first, grid_w)
+    # packed layout fits when block and tile indices fit 15 bits
+    # (~8M vertices); nb is the dummy-block id, hence nb + 1 values
+    packable = (idx.nb + 1) < 2**15 and _cdiv(idx.npa, _ST) < 2**15
+    call = one_call_packed if packable else one_call
+    w_budget = _W_SMEM_PACKED if packable else _W_SMEM
 
-    n_chunks = _cdiv(grid_w, _W_SMEM)
-    pad = n_chunks * _W_SMEM - grid_w
+    if grid_w <= w_budget:
+        return call(qblk, stile, first, grid_w)
+
+    n_chunks = _cdiv(grid_w, w_budget)
+    pad = n_chunks * w_budget - grid_w
     qblk_p = jnp.concatenate([qblk, jnp.full((pad,), idx.nb, jnp.int32)])
     stile_p = jnp.concatenate([stile, jnp.zeros((pad,), jnp.int32)])
     acc = None
     for ci in range(n_chunks):
-        lo = ci * _W_SMEM
-        qblk_c = lax.dynamic_slice_in_dim(qblk_p, lo, _W_SMEM)
-        stile_c = lax.dynamic_slice_in_dim(stile_p, lo, _W_SMEM)
+        lo = ci * w_budget
+        qblk_c = lax.dynamic_slice_in_dim(qblk_p, lo, w_budget)
+        stile_c = lax.dynamic_slice_in_dim(stile_p, lo, w_budget)
         # per-chunk first flags by block-change detection: each chunk
         # initializes its own output blocks; cross-chunk continuation of
         # a block accumulates via the summed partials
         prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qblk_c[:-1]])
         first_c = (qblk_c != prev).astype(jnp.int32)
-        out_c = one_call(qblk_c, stile_c, first_c, _W_SMEM)
+        out_c = call(qblk_c, stile_c, first_c, w_budget)
         acc = out_c if acc is None else acc + out_c
     return acc
 
