@@ -651,6 +651,7 @@ class SpanStructures(NamedTuple):
     q_ids: jax.Array  # (NQ,) i32 — vertex per query slot, sentinel n
     rank_of: jax.Array  # (n,) i32 — local sorted rank within own group
     block_of: jax.Array  # (n,) i32 — query block per vertex
+    slot_of: jax.Array  # (n,) i32 — query SLOT per vertex (inverse q_ids)
     lwpow: jax.Array  # (n,) f32 — L * w^(1/d)
     overflow: jax.Array  # i32 scalar — candidates beyond the tile windows
     need: jax.Array  # (NB, B) i32 — window members needed per (block, group)
@@ -846,12 +847,23 @@ def build_span_structures(
         start_tile.reshape(-1)[tables.wt_pair] + tables.wt_off
     ).astype(jnp.int32)
 
-    rank_of = (
-        jnp.zeros((n,), jnp.int32)
+    # ONE wide scatter builds all three inverse maps (XLA-TPU scatter cost
+    # is per ROW, so three separate (n,) scatters cost ~3x): local sorted
+    # rank, query block, and query SLOT of each vertex — the slot map lets
+    # the accumulator unsort kernel outputs by GATHER instead of an
+    # (NQ, d) scatter-add.  ``order`` is a permutation, hence unique.
+    inv = (
+        jnp.zeros((n, 3), jnp.int32)
         .at[order]
-        .set(j - jnp.asarray(idx.sorted_moff))
+        .set(
+            jnp.stack(
+                [j - jnp.asarray(idx.sorted_moff), q_idx // _Q, q_idx],
+                axis=1,
+            ),
+            unique_indices=True,
+            mode="promise_in_bounds",
+        )
     )
-    block_of = jnp.zeros((n,), jnp.int32).at[order].set(q_idx // _Q)
 
     return SpanStructures(
         qdata=qdata,
@@ -861,8 +873,9 @@ def build_span_structures(
         stile=stile,
         start_tile=start_tile,
         q_ids=q_ids,
-        rank_of=rank_of,
-        block_of=block_of,
+        rank_of=inv[:, 0],
+        block_of=inv[:, 1],
+        slot_of=inv[:, 2],
         lwpow=lwpow,
         overflow=overflow,
         need=stop - start,
@@ -1352,18 +1365,17 @@ def _kernel_accumulate(structures, idx, opts, tables, interpret, shard=None):
     flat = out.reshape(idx.nq, c)
     qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
     force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
-    q_ids = structures.q_ids
-    force = jnp.zeros((n, d), f32).at[q_ids].add(force_q, mode="drop")
+    # unsort by GATHER through the inverse slot map (each vertex occupies
+    # exactly one query slot) — an (NQ, d) scatter-add here cost ~100ms
+    # at million-vertex scale (XLA-TPU scatter serializes per row)
+    slot_of = structures.slot_of
+    force = force_q[slot_of].astype(f32)
     loss = jnp.sum(flat[:, d + 1], dtype=f32)
     # each per-slot count is an exactly-representable small float; round to
     # integer BEFORE summing so the reduction is exact past 2^24 total
     # candidates (int32 ceiling ~2.1e9 documented; forces are unaffected)
     count = jnp.sum(flat[:, d + 2].astype(jnp.int32), dtype=jnp.int32)
-    zero_count = (
-        jnp.zeros((n,), jnp.int32)
-        .at[q_ids]
-        .add(flat[:, d + 3].astype(jnp.int32), mode="drop")
-    )
+    zero_count = flat[slot_of, d + 3].astype(jnp.int32)
     return force, loss, count, zero_count
 
 
