@@ -1321,23 +1321,83 @@ def _slice_edge_tables(idx, structures, shard, edge_chunk=None) -> _EdgeSlice:
     )
 
 
-def _edge_inclusion(structures, tables, es: _EdgeSlice, b, colors, dist2):
+def _edge_sides(positions, inv_w, colors, structures, es: _EdgeSlice, d):
+    """Per-edge endpoint values via ONE packed gather per side.
+
+    TPU gathers are row-LATENCY-bound (~25ms per 9M-row gather on v5e
+    regardless of row width), so the correction's ~10 separate per-vertex
+    lookups cost ~10x two packed ones.  The dynamic per-vertex channels
+    [pos(d), invw, lwpow, rank, block, color] ride one (n, d+5) f32
+    matrix; integer channels are exact as floats below 2^24, so the pack
+    applies for n < 2^24 (~16.7M vertices) with the per-array fallback
+    above that.
+
+    Returns (psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst,
+    colneq)."""
+    n = positions.shape[0]
+    f32 = jnp.float32
+    pos32 = positions.astype(f32)
+    iw32 = inv_w.astype(f32)
+    if n < 2**24:
+        vpack = jnp.concatenate(
+            [
+                pos32,
+                iw32[:, None],
+                structures.lwpow[:, None],
+                structures.rank_of.astype(f32)[:, None],
+                structures.block_of.astype(f32)[:, None],
+                colors.astype(f32)[:, None],
+            ],
+            axis=1,
+        )
+        sp = vpack[es.src]
+        dp = vpack[es.dst]
+        return (
+            sp[:, :d],
+            dp[:, :d],
+            sp[:, d],
+            dp[:, d],
+            sp[:, d + 1],
+            sp[:, d + 3].astype(jnp.int32),
+            dp[:, d + 2].astype(jnp.int32),
+            sp[:, d + 4] != dp[:, d + 4],
+        )
+    return (
+        pos32[es.src],
+        pos32[es.dst],
+        iw32[es.src],
+        iw32[es.dst],
+        structures.lwpow[es.src],
+        structures.block_of[es.src],
+        structures.rank_of[es.dst],
+        colors[es.src] != colors[es.dst],
+    )
+
+
+def _edge_inclusion(
+    structures, tables, es: _EdgeSlice, b, lwpow_src, block_src, rank_dst,
+    colneq, dist2,
+):
     """Which edges' endpoints the kernel counted as candidates — the
     correction must mirror the kernel's inclusion EXACTLY (same per-class
     radius product, same covered tile windows, same color filter).
     Coverage start AND length both come from traced per-(block, group)
     tables, so every window resize is a zero-recompile swap."""
-    r_e = structures.lwpow[es.src] * es.bmaxpow
-    cov_pair = structures.block_of[es.src] * b + es.dst_group
-    cov_start = structures.start_tile.reshape(-1)[cov_pair] * _ST
-    cov_len_e = tables.blk_t.reshape(-1)[cov_pair] * _ST
-    rank = structures.rank_of[es.dst]
+    r_e = lwpow_src * es.bmaxpow
+    cov_pair = block_src * b + es.dst_group
+    # one packed lookup for (window start, window length) — two separate
+    # 9M-row gathers cost 2x one, even from this small table
+    covtab = jnp.stack(
+        [structures.start_tile.reshape(-1), tables.blk_t.reshape(-1)],
+        axis=1,
+    )
+    cov = covtab[cov_pair] * _ST
     return (
         es.mask
         & (dist2 <= r_e * r_e)
-        & (rank >= cov_start)
-        & (rank < cov_start + cov_len_e)
-        & (colors[es.src] != colors[es.dst])
+        & (rank_dst >= cov[:, 0])
+        & (rank_dst < cov[:, 0] + cov[:, 1])
+        & colneq
     )
 
 
@@ -1436,17 +1496,12 @@ def span_fused_forces(
     row_ptr = jnp.asarray(idx.edge_row_ptr)
     b = idx.num_groups
 
-    pos32 = positions.astype(f32)
-    psrc = pos32[es.src]
-    pdst = pos32[es.dst]
+    psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst, colneq = (
+        _edge_sides(positions, inv_w, colors, structures, es, d)
+    )
     diff = pdst - psrc
     dist2 = jnp.sum(diff * diff, axis=-1)
-    iw = inv_w.astype(f32)
-    ws = (
-        (iw[es.src] + iw[es.dst])
-        if opts.additive_weights
-        else (iw[es.src] * iw[es.dst])
-    )
+    ws = (iw_src + iw_dst) if opts.additive_weights else (iw_src * iw_dst)
     posd = dist2 > 0
     dist = jnp.sqrt(dist2)
     inv_dist = f32(1.0) / jnp.maximum(dist, f32(1e-30))
@@ -1458,7 +1513,10 @@ def span_fused_forces(
         jnp.where(act_a, dist - f32(L) / ws, 0.0), dtype=f32
     )
 
-    included = _edge_inclusion(structures, tables, es, b, colors, dist2)
+    included = _edge_inclusion(
+        structures, tables, es, b, lwpow_src, block_src, rank_dst, colneq,
+        dist2,
+    )
     act_r = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
     cr = jnp.where(act_r, f32(opts.repulsion_scale) * ws * inv_dist, 0.0)
     rep_loss = rep_loss - jnp.sum(
@@ -1568,17 +1626,16 @@ def span_repulsion_forces(
     row_ptr = jnp.asarray(idx.edge_row_ptr)
     b = idx.num_groups
 
-    psrc = positions.astype(f32)[es.src]
-    pdst = positions.astype(f32)[es.dst]
+    psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst, colneq = (
+        _edge_sides(positions, inv_w, colors, structures, es, d)
+    )
     diff = psrc - pdst
     dist2 = jnp.sum(diff * diff, axis=-1)
-    included = _edge_inclusion(structures, tables, es, b, colors, dist2)
-    iw = inv_w.astype(f32)
-    ws = (
-        (iw[es.src] + iw[es.dst])
-        if opts.additive_weights
-        else (iw[es.src] * iw[es.dst])
+    included = _edge_inclusion(
+        structures, tables, es, b, lwpow_src, block_src, rank_dst, colneq,
+        dist2,
     )
+    ws = (iw_src + iw_dst) if opts.additive_weights else (iw_src * iw_dst)
     posd = dist2 > 0
     active = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
     dist = jnp.sqrt(dist2)
