@@ -27,4 +27,7 @@ SRCS=$(find "$REF/src" -name '*.cpp' | grep -v -e drawLib -e test -e cli_)
 echo "building $(echo "$SRCS" | wc -l) sources -> $OUT/ref_driver"
 g++ -O3 -std=c++20 -fopenmp -Wno-unknown-pragmas $INC \
   $SRCS "$HERE/ref_driver.cpp" -o "$OUT/ref_driver"
+echo "building eval_driver (quality metrics over evaluationLib)"
+g++ -O3 -std=c++20 -fopenmp -Wno-unknown-pragmas $INC \
+  $SRCS "$HERE/eval_driver.cpp" -o "$OUT/eval_driver"
 echo ok

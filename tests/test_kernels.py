@@ -362,3 +362,49 @@ def test_span_query_smem_chunking_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(chunked), np.asarray(full), rtol=1e-6, atol=1e-5
     )
+
+
+def test_grow_all_fallback_terminates(monkeypatch):
+    """Host/device needs divergence (VERDICT r3 item 8): when the host
+    needs measurement claims full coverage but the device still reports
+    overflow (independent projection axes CAN disagree — seen on d=4
+    hardware), the growth protocol must fall back to ``grow_all`` and
+    terminate with overflow 0 within a handful of events, not burn the
+    growth budget.  Simulated by pinning the host measurement to
+    zero-need (the worst case: presize shrinks every window to 0 tiles,
+    and every subsequent growth event gets no host guidance)."""
+    from wembed_tpu.core import span_driver
+    from wembed_tpu.core.embedder import WEmbedEmbedder
+    from wembed_tpu.core.options import RepulsionMode
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, _, _ = generators.girg(
+        600, dim=2, avg_degree=10, ple=2.3, rng=np.random.default_rng(3)
+    )
+    monkeypatch.setattr(
+        span_driver.span_mod,
+        "measure_needs_host",
+        lambda pos, w, idx, opts: (
+            np.zeros((idx.nb, idx.num_groups), np.int64),
+            0,
+        ),
+    )
+    opts = EmbedderOptions(
+        embedding_dimension=2,
+        dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET,
+        fused_span="interpret",
+        max_iterations=6,
+        position_min_change=0.0,
+    )
+    set_seed(21)
+    emb = WEmbedEmbedder(g, opts, verbose=False)
+    assert isinstance(emb._index, span_mod.SpanIndex)
+    # presize under the pinned zero needs shrank every window to nothing
+    assert int(emb._index.blk_t.sum()) == 0
+    emb.calculate_embedding()
+    # device-truth growth (additive grow_all) recovered full coverage...
+    assert int(emb.state.overflow) == 0
+    assert np.isfinite(emb.get_coordinates()).all()
+    # ...within a handful of +1-tile events, nowhere near the 200 budget
+    assert 0 < emb._growth_events <= 12

@@ -80,6 +80,11 @@ class Options:
     distributedMode: str = "none"
     numDevices: int = -1  # -1: all visible devices
     multiHost: bool = False  # call jax.distributed.initialize first
+    # layered x distributed composition: hierarchy layers with fewer
+    # vertices than this run single-device (coarse layers are tiny — the
+    # per-step collective latency would dominate); larger layers use the
+    # selected distributed backend
+    distributedMinLayerSize: int = 4096
 
 
 def _translate_options(options: Options) -> EmbedderOptions:
@@ -226,26 +231,72 @@ def createEmbedder(graph: Graph, options: Options) -> Embedder:
     if options.distributedMode != "none":
         from .distributed.mesh import init_distributed, make_mesh
 
-        if options.layeredEmbedding:
-            raise ValueError(
-                "layeredEmbedding with a distributed backend is not yet "
-                "supported — run the layered embedder single-device"
-            )
         if options.multiHost:
             init_distributed()
         mesh = make_mesh(
             None if options.numDevices < 0 else options.numDevices
         )
         if options.distributedMode == "halo":
-            from .distributed.halo import HaloEmbedder
+            from .distributed.halo import HaloEmbedder as DistEmbedder
+        else:
+            from .distributed.step import MultiChipEmbedder as DistEmbedder
 
-            return Embedder(HaloEmbedder(graph.csr, opts, mesh=mesh, verbose=False))
-        from .distributed.step import MultiChipEmbedder
-
-        return Embedder(MultiChipEmbedder(graph.csr, opts, mesh=mesh, verbose=False))
+        if options.layeredEmbedding:
+            factory = _distributed_layer_factory(
+                DistEmbedder, mesh, options.distributedMinLayerSize
+            )
+            return Embedder(
+                LayeredEmbedder(
+                    graph.csr, opts, verbose=False, embedder_factory=factory
+                )
+            )
+        return Embedder(DistEmbedder(graph.csr, opts, mesh=mesh, verbose=False))
     if options.layeredEmbedding:
         return Embedder(LayeredEmbedder(graph.csr, opts, verbose=False))
     return Embedder(WEmbedEmbedder(graph.csr, opts, verbose=False))
+
+
+def _distributed_layer_factory(dist_cls, mesh, min_layer_size: int):
+    """Per-layer embedder factory for layered x distributed runs
+    (reference composability: src/wembed.cpp:180-187 builds its multilevel
+    mode over the same embedder machinery as the flat path).  Hierarchy
+    layers below ``min_layer_size`` vertices run single-device — at
+    coarse-layer sizes the per-step collective latency dominates any
+    compute win."""
+
+    def factory(
+        layer_graph,
+        opts,
+        *,
+        timer=None,
+        initial_coordinates=None,
+        initial_weights=None,
+        verbose=True,
+        profile=False,
+    ):
+        if layer_graph.num_vertices < max(min_layer_size, 2 * mesh.devices.size):
+            return WEmbedEmbedder(
+                layer_graph,
+                opts,
+                timer=timer,
+                initial_coordinates=initial_coordinates,
+                initial_weights=initial_weights,
+                verbose=verbose,
+                profile=profile,
+            )
+        # the distributed drivers have no profiled (phase-split) mode —
+        # profile requests fall back to their normal step
+        return dist_cls(
+            layer_graph,
+            opts,
+            mesh=mesh,
+            timer=timer,
+            initial_coordinates=initial_coordinates,
+            initial_weights=initial_weights,
+            verbose=verbose,
+        )
+
+    return factory
 
 
 def graphFromEdges(edges: Sequence[Edge] | np.ndarray) -> Graph:

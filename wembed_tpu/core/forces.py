@@ -111,10 +111,11 @@ def attraction_forces(
     """
     dtype = positions.dtype
     src, dst, mask = dg.edge_src, dg.edge_dst, dg.edge_mask
+    e_pad = src.shape[0]
     e_off = None
+    eidx = None
     if shard is not None:
         axis_name, P = shard
-        e_pad = src.shape[0]
         per = -(-e_pad // P)
         e_off = lax.axis_index(axis_name) * per
         rows = e_off + jnp.arange(per)
@@ -136,9 +137,18 @@ def attraction_forces(
     force_e = coeff[:, None].astype(dtype) * diff
 
     # coincident endpoints: random unit kick.  Generated lazily — the branch
-    # only pays for RNG when a coincidence actually occurred.
+    # only pays for RNG when a coincidence actually occurred.  Kicks are
+    # keyed by GLOBAL edge index (draw the full array, slice this device's
+    # chunk) so sharded trajectories match the single-chip path bit-for-bit
+    # — the replicated key would otherwise hand every device the SAME kick
+    # rows for different edges (caught by the layered x distributed
+    # equivalence test: sphere-radius-0 expansion starts siblings
+    # coincident, so the kick path fires on real runs, not just
+    # measure-zero configurations).
     def with_kicks(f):
-        kicks = random_unit_vectors(key, (src.shape[0],), positions.shape[1], dtype)
+        kicks = random_unit_vectors(key, (e_pad,), positions.shape[1], dtype)
+        if eidx is not None:
+            kicks = kicks[eidx]
         return jnp.where(zero[:, None], kicks, f)
 
     force_e = lax.cond(jnp.any(zero), with_kicks, lambda f: f, force_e)

@@ -36,10 +36,10 @@ Collectives per step (bucket mode): 1 all_to_all (halo, O(H*d)),
 1 all_gather (O(n*d)), 1 psum_scatter (O(n*d)), scalar psums.  Attraction
 contributes NO O(n) collective.  Cost model in BASELINE.md row 5.
 
-Semantics match the single-chip step up to summation-order rounding; the
-only behavioral deviation is the coincident-point kick draw shape
-(documented in ``_halo_step``), which only matters on measure-zero
-configurations.
+Semantics match the single-chip step up to summation-order rounding,
+including the coincident-point kicks (keyed by global vertex/edge index,
+so a sphere-radius-0 layered expansion — which starts siblings coincident
+— follows the identical trajectory on every backend).
 """
 
 from __future__ import annotations
@@ -95,6 +95,9 @@ class HaloPlan:
     local_row_ptr: np.ndarray  # (P, R+1) int32 CSR offsets into the shard's
     # local edge slice (edges are local-src-sorted; enables the cumsum
     # segment reduction instead of a serializing scatter)
+
+    edge_goff: np.ndarray  # (P, 1) int32: global directed-edge index of each
+    # shard's slice start (kick parity with the single-chip edge order)
 
     @staticmethod
     def build(graph: CSRGraph, num_shards: int) -> "HaloPlan":
@@ -161,6 +164,7 @@ class HaloPlan:
             edge_src_local=esrc_l, edge_dst_ext=edst_ext,
             edge_dst_global=edst_g, edge_mask=emask, send_idx=send_idx,
             local_row_ptr=local_row_ptr,
+            edge_goff=bounds[:-1].astype(np.int32).reshape(Pn, 1),
         )
 
 
@@ -212,16 +216,21 @@ def build_halo_step(
     plan_dev = jax.tree.map(
         lambda a: jax.device_put(jnp.asarray(a), row_sharding),
         (plan.edge_src_local, plan.edge_dst_ext, plan.edge_dst_global,
-         plan.edge_mask, plan.send_idx, plan.local_row_ptr),
+         plan.edge_mask, plan.send_idx, plan.local_row_ptr, plan.edge_goff),
     )
+    # single-chip padded directed-edge count: the kick arrays are drawn at
+    # this length so coincident-edge kicks match the single-chip step
+    # bit-for-bit (keyed by global edge index, not per-shard slot)
+    e_pad_global = int(dg.edge_src.shape[0])
 
-    def halo_step(state, weights, inv_w, tables, echunk, esrc_l, edst_ext, edst_g, emask, send_idx, row_ptr_l):
+    def halo_step(state, weights, inv_w, tables, echunk, esrc_l, edst_ext, edst_g, emask, send_idx, row_ptr_l, e_goff):
         """Runs per device inside shard_map.  state arrays are the LOCAL
         row slices (R, ...); weights/inv_w/tables are replicated;
         ``echunk`` (span path) is this device's O(E/P) slice of the
         correction-edge tables."""
         esrc_l, edst_ext, edst_g = esrc_l[0], edst_ext[0], edst_g[0]
         emask, send_idx, row_ptr_l = emask[0], send_idx[0], row_ptr_l[0]
+        e_goff = e_goff[0, 0]
         if echunk is not None:
             echunk = span_mod.EdgeChunk(*(a[0] for a in echunk))
         p = lax.axis_index(axis_name)
@@ -255,8 +264,16 @@ def build_halo_step(
         force_e = coeff[:, None].astype(dtype) * diff
 
         def with_edge_kicks(f):
-            kicks = forces.random_unit_vectors(att_key, (E_s,), d, dtype)
-            return jnp.where(zero[:, None], kicks, f)
+            # kicks keyed by GLOBAL directed-edge index (draw the full
+            # array, gather this shard's slice): transient O(E*d), paid
+            # only on the measure-zero-but-real coincidence steps (e.g.
+            # the first step after a sphere-radius-0 layered expansion),
+            # in exchange for bit-exact parity with the single-chip step
+            kicks_full = forces.random_unit_vectors(
+                att_key, (e_pad_global,), d, dtype
+            )
+            rows = jnp.minimum(e_goff + jnp.arange(E_s), e_pad_global - 1)
+            return jnp.where(zero[:, None], kicks_full[rows], f)
 
         force_e = lax.cond(
             lax.psum(jnp.any(zero).astype(jnp.int32), axis_name) > 0,
@@ -330,13 +347,13 @@ def build_halo_step(
         )
         force_l = force_l + rep_l
 
-        # coincident-point kicks.  DOCUMENTED DEVIATION vs the single-chip
-        # step: the kick field is drawn with shape (n_pad, d) instead of
-        # (n, d), so kick VALUES differ when coincidences occur (still
-        # random unit vectors; only measure-zero configurations notice).
+        # coincident-point kicks, drawn with the single-chip shape (n, d)
+        # and gathered to local rows — bit-exact parity with the
+        # single-chip step (a sphere-radius-0 layered expansion starts
+        # siblings coincident, so this path fires on real runs)
         def with_kicks(f):
-            kicks_full = forces.random_unit_vectors(kick_key, (n_pad,), d, dtype)
-            kicks_l = lax.dynamic_slice_in_dim(kicks_full, p * R, R, axis=0)
+            kicks_full = forces.random_unit_vectors(kick_key, (n,), d, dtype)
+            kicks_l = kicks_full[jnp.minimum(rows_global, n - 1)]
             return f + kicks_l * zero_l[:, None].astype(dtype)
 
         force_l = lax.cond(
@@ -382,7 +399,7 @@ def build_halo_step(
         halo_step,
         mesh=mesh,
         in_specs=(state_specs, P(), P(), P(), P(axis_name))
-        + (P(axis_name),) * 6,
+        + (P(axis_name),) * 7,
         out_specs=state_specs,
         check_vma=False,
     )

@@ -15,6 +15,8 @@ persistent compilation cache amortizes per-layer compiles across runs.
 
 from __future__ import annotations
 
+from typing import Callable
+
 import numpy as np
 
 from ..core.embedder import Loss, WEmbedEmbedder
@@ -37,24 +39,45 @@ class LayeredEmbedder:
         expansion_mode: ExpansionMode = ExpansionMode.REFERENCE,
         verbose: bool = True,
         profile: bool = False,
+        embedder_factory: Callable | None = None,
     ):
+        """``embedder_factory(graph, opts, *, timer, initial_coordinates,
+        initial_weights, verbose, profile)`` builds the per-layer flat
+        embedder — the hook that composes multilevel with the distributed
+        backends (the reference's multilevel mode composes with its whole
+        embedder surface, src/wembed.cpp:180-187).  Default: the
+        single-device ``WEmbedEmbedder``."""
         self.graph = graph
         self.opts = opts or EmbedderOptions()
         self.timer = timer or Timer()
         self.expansion_mode = expansion_mode
         self.verbose = verbose
         self.profile = profile
+        self.embedder_factory = embedder_factory
 
         result = coarsen_all_layers(graph, opts=partitioner_opts)
         self.hierarchy = GraphHierarchy.build(result)
         self.current_layer = self.hierarchy.num_layers - 1
         self.current_iteration = 0
-        self._current = WEmbedEmbedder(
-            self.hierarchy.layers[self.current_layer].graph,
+        self._current = self._make_embedder(
+            self.hierarchy.layers[self.current_layer].graph
+        )
+
+    def _make_embedder(
+        self,
+        graph: CSRGraph,
+        initial_coordinates: np.ndarray | None = None,
+        initial_weights: np.ndarray | None = None,
+    ):
+        factory = self.embedder_factory or WEmbedEmbedder
+        return factory(
+            graph,
             self.opts,
             timer=self.timer,
-            verbose=verbose,
-            profile=profile,
+            initial_coordinates=initial_coordinates,
+            initial_weights=initial_weights,
+            verbose=self.verbose,
+            profile=self.profile,
         )
 
     # ------------------------------------------------------------- stepping
@@ -120,14 +143,10 @@ class LayeredEmbedder:
                     f"Expanding to layer {self.current_layer} "
                     f"(n={new_n}) at iteration {self.current_iteration}"
                 )
-            self._current = WEmbedEmbedder(
+            self._current = self._make_embedder(
                 finer.graph,
-                self.opts,
-                timer=self.timer,
                 initial_coordinates=new_positions,
                 initial_weights=new_weights,
-                verbose=self.verbose,
-                profile=self.profile,
             )
 
     # ------------------------------------------------------------ accessors
