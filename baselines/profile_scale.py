@@ -40,7 +40,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from wembed_tpu.core import EmbedderOptions, WEmbedEmbedder
-    from wembed_tpu.core.candidates import _principal_axis
     from wembed_tpu.graphs import io
     from wembed_tpu.kernels import span_sparse as span
     from wembed_tpu.utils import set_seed
@@ -80,14 +79,18 @@ def main() -> None:
 
     @jax.jit
     def axis_sort_fn(p):
-        # the projection + sort prefix of build_span_structures
+        # the projection + two-level sort prefix of build_span_structures
         # (span_sparse.py build_span_structures head), isolated
+        from wembed_tpu.core.candidates import _principal_axes2
+
         p = p.astype(jnp.float32)
         centered = p - jnp.mean(p, axis=0)
-        axis = _principal_axis(centered)
-        proj = centered @ axis
-        order = jnp.lexsort((proj, jnp.asarray(idx.group_of)))
-        return order
+        v1, v2 = _principal_axes2(centered)
+        y = centered @ v1
+        x = (centered @ v2) if dim >= 2 else y
+        order1 = jnp.lexsort((y, jnp.asarray(idx.group_of)))
+        x_s1 = x[order1]
+        return order1[jnp.lexsort((x_s1, jnp.asarray(idx.row_of_sorted)))]
 
     @jax.jit
     def sweep_fn(structures):

@@ -406,6 +406,42 @@ def _principal_axis(x_centered: jax.Array, iters: int = 12) -> jax.Array:
     return lax.fori_loop(0, iters, body, v)
 
 
+def _power_iteration(cov: jax.Array, iters: int = 12) -> jax.Array:
+    """Dominant eigenvector of a (d, d) PSD matrix by power iteration —
+    the shared core of ``_principal_axis`` / ``_principal_axes2``.  The
+    iteration count and the perturbed all-ones start vector are part of
+    the host/device parity contract (span_sparse.measure_needs_host
+    replicates them bit-for-bit in f32)."""
+    d = cov.shape[0]
+    v = jnp.full((d,), 1.0, dtype=cov.dtype) + jnp.arange(
+        d, dtype=cov.dtype
+    ) * jnp.asarray(1e-3, cov.dtype)
+    v = v / jnp.linalg.norm(v)
+
+    def body(_, v):
+        w = cov @ v
+        norm = jnp.linalg.norm(w)
+        return jnp.where(norm > 0, w / jnp.where(norm > 0, norm, 1.0), v)
+
+    return lax.fori_loop(0, iters, body, v)
+
+
+def _principal_axes2(x_centered: jax.Array, iters: int = 12):
+    """(v1, v2): the first TWO principal axes of centered rows — v1 by
+    power iteration on the covariance, v2 by power iteration on the
+    deflated covariance (cov - lambda1 v1 v1^T) re-orthogonalized against
+    v1.  The two-level span structure bins on v1 and sorts/searches each
+    bin on v2 (span_sparse.build_span_structures)."""
+    cov = x_centered.T @ x_centered  # (d, d)
+    v1 = _power_iteration(cov, iters)
+    lam1 = v1 @ (cov @ v1)
+    v2 = _power_iteration(cov - lam1 * jnp.outer(v1, v1), iters)
+    v2 = v2 - (v2 @ v1) * v1
+    norm = jnp.linalg.norm(v2)
+    v2 = jnp.where(norm > 1e-12, v2 / jnp.where(norm > 0, norm, 1.0), v2)
+    return v1, v2
+
+
 def bucket_repulsion_forces(
     positions: jax.Array,
     inv_w: jax.Array,

@@ -101,6 +101,12 @@ class WEmbedEmbedder(SpanGrowthMixin):
     def _span_positions_np(self) -> np.ndarray:
         return np.asarray(self._state.positions, np.float64)
 
+    def _span_device_args(self):
+        return (
+            self._state.positions, self._inv_w, self._weights,
+            self._dg.colors,
+        )
+
     def _swap_index(self, new_index) -> None:
         """Install a resized span index; rebuild the step closure only
         when the work list outgrew its padding bucket (shape change —
@@ -348,44 +354,22 @@ class WEmbedEmbedder(SpanGrowthMixin):
                     )
             return
         with self.timer.phase("embedding_all", "Embedding"):
-            # exit the device loop the moment a step truncates candidate
-            # windows, widen them from measured needs, and resume — the
-            # reference's exact index never truncates, and the early
-            # (most spread-out) iterations are where windows starve.
-            # Once growth caps out, run to convergence accepting the
-            # residual truncation (stop_on_overflow=False).
-            # early-exit-on-overflow only pays off for the SpanIndex, whose
-            # growth swaps tables with zero recompilation; BucketIndex
-            # growth changes shapes (full step recompile), so it keeps the
-            # cheaper grow-at-convergence protocol.
-            stop_on_overflow = isinstance(self._index, span_mod.SpanIndex)
-            while True:
+            # shared growth/shrink protocol around the device loop:
+            # SpanGrowthMixin._drive_device_loop (core/span_driver.py)
+            def run_segment(seg_cap, stop_on_overflow):
                 self._state = step_mod.run_embedding(
                     self._step_fn,
                     self._state,
                     self._weights,
                     self._inv_w,
-                    cap,
+                    seg_cap,
                     self.opts.position_min_change,
                     stop_on_overflow,
                     self._tables,
                 )
                 self._state.positions.block_until_ready()
-                if int(self._state.iteration) >= cap:
-                    break
-                if int(self._state.overflow) == 0:
-                    break  # genuinely converged, no truncation
-                if self._grow_spans():
-                    self._announce_growth(int(self._state.overflow))
-                else:
-                    if not stop_on_overflow:
-                        break  # already converged under residual truncation
-                    stop_on_overflow = False
-                # force at least one more step under the new spans
-                self._state = self._state._replace(
-                    pos_change=jnp.asarray(jnp.inf, jnp.float32),
-                    overflow=jnp.asarray(0, jnp.int32),
-                )
+
+            self._drive_device_loop(run_segment, cap)
         if self.opts.debug_checks:
             self._debug_validate()
 

@@ -84,6 +84,12 @@ class EmbedderOptions:
     # backends for the unsharded f32 bucket mode with index_size == 1,
     # "on"/"off" force it, "interpret" runs it in interpreter mode
     fused_span: str = "auto"
+    # segment the device-side embedding loop every this many iterations to
+    # let the host SHRINK over-provisioned span windows (the mid-run
+    # candidate bulge inflates windows that overflow-driven growth alone
+    # never deflates; measured ~1.7x work-tile inflation at 1M vertices).
+    # 0 disables the checks (single uninterrupted device loop).
+    span_resize_interval: int = 50
     # debug mode, the analogue of the reference's EMBEDDING_USE_ASSERTIONS
     # toggle (Macros.hpp:7-11, CMakeLists.txt:65-68): enables
     # jax_debug_nans (jit raises where a NaN is produced) and validates

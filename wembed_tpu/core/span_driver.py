@@ -37,6 +37,125 @@ _MAX_GROWTH_EVENTS = 200  # runaway guard only; see module docstring
 
 
 class SpanGrowthMixin:
+    def _drive_device_loop(self, run_segment, cap: int) -> None:
+        """The shared calculateEmbedding protocol around a backend's
+        device-side while-loop (single-chip / replicated / halo):
+
+          * exit the loop the moment a step truncates candidate windows,
+            widen them from measured needs, resume (the reference's exact
+            index never truncates, WeightedIndex.cpp:65-100; once growth
+            caps out, run to convergence accepting residual truncation)
+          * additionally SEGMENT the loop every
+            ``opts.span_resize_interval`` iterations so over-provisioned
+            windows can shrink (the mid-run candidate bulge inflates
+            windows that overflow-driven growth alone never deflates)
+
+        ``run_segment(iter_cap, stop_on_overflow)`` runs the backend's
+        jitted loop, updating ``self._state``; overflow-exit only pays
+        off for the SpanIndex (zero-recompile table swaps), so other
+        indexes run one uninterrupted loop with grow-at-convergence."""
+        span = isinstance(self._index, span_mod.SpanIndex)
+        stop_on_overflow = span
+        interval = int(getattr(self.opts, "span_resize_interval", 0) or 0)
+        seg_growth = 0  # growth events since the last segment boundary
+        while True:
+            it_now = int(self._state.iteration)
+            # segment boundaries sit at GLOBAL multiples of the interval,
+            # so segmented callers (benchmark windows, checkpoint-every-K)
+            # still cross them — an iteration-relative boundary would
+            # never fire for calls shorter than the interval
+            seg_cap = (
+                min(cap, (it_now // interval + 1) * interval)
+                if span and interval > 0
+                else cap
+            )
+            run_segment(seg_cap, stop_on_overflow)
+            it = int(self._state.iteration)
+            if it >= cap:
+                break
+            if int(self._state.overflow) == 0:
+                if float(self._state.pos_change) < self.opts.position_min_change:
+                    break  # genuinely converged, no truncation
+                # segment boundary: shrink only after a GROWTH-FREE
+                # segment — while needs are still rising (the expansion
+                # phase), trimming windows to the current need guarantees
+                # starvation a few steps later, and every starvation is a
+                # costly device-loop exit
+                if seg_growth == 0:
+                    self._maybe_shrink_spans()
+                seg_growth = 0
+                continue
+            if self._grow_spans():
+                seg_growth += 1
+                self._announce_growth(int(self._state.overflow))
+            else:
+                if not stop_on_overflow:
+                    break  # already converged under residual truncation
+                stop_on_overflow = False
+            # force at least one more step under the new spans
+            self._state = self._state._replace(
+                pos_change=self._inf_pos_change(),
+                overflow=self._state.overflow * 0,
+            )
+
+    @staticmethod
+    def _inf_pos_change():
+        import jax.numpy as jnp
+
+        return jnp.asarray(jnp.inf, jnp.float32)
+
+    def _maybe_shrink_spans(self) -> None:
+        """Shrink over-provisioned windows to freshly measured needs
+        (hysteresis in SpanIndex.shrink_to_needs keeps this from fighting
+        the overflow-driven growth).  Always a zero-recompile table swap."""
+        if not isinstance(self._index, span_mod.SpanIndex):
+            return
+        shrunk = self._index.shrink_to_needs(self._current_needs())
+        if shrunk is not None:
+            self._swap_index(shrunk)
+
+    # ---- needs measurement: device when possible, numpy mirror otherwise
+    def _span_device_args(self):
+        """(positions, inv_w, weights, colors) as replicated device arrays
+        for the in-jit needs measurement, or None when the driver has no
+        replicated view (the vertex-sharded halo backend)."""
+        return None
+
+    def _current_needs(self) -> np.ndarray:
+        """Mid-run window needs at the current positions.  Prefers the
+        DEVICE measurement: it shares the sweep's exact projection axes
+        (no host/device f32 power-iteration divergence) and runs ~4x
+        faster than the numpy mirror at 1M vertices — growth events sit
+        on the critical path of every overflow exit.  The host mirror
+        remains for presize (no device compiles before the first step)
+        and for drivers without a replicated device view."""
+        args = self._span_device_args()
+        idx = self._index
+        if args is None or not isinstance(idx, span_mod.SpanIndex):
+            return self._measure_needs()[0]
+        # the jitted closure bakes the index's STATIC layout (identical
+        # across window swaps — dataclasses.replace shares the arrays);
+        # window tables enter as traced inputs, so every growth/shrink
+        # reuses the compiled program
+        if getattr(self, "_needs_fn_src", None) is not idx.src_of_pad:
+            import jax
+
+            opts = self.opts
+            idx0 = idx
+
+            @jax.jit
+            def needs_fn(pos, inv_w, w, colors, tables):
+                s = span_mod.build_span_structures(
+                    pos, inv_w, w, colors, idx0, opts, tables=tables
+                )
+                return s.need
+
+            self._needs_fn = needs_fn
+            self._needs_fn_src = idx.src_of_pad
+        pos, inv_w, w, colors = args
+        return np.asarray(
+            self._needs_fn(pos, inv_w, w, colors, self._tables), np.int64
+        )
     def _measure_needs(self):
         """Host-side window needs at the current positions."""
         return span_mod.measure_needs_host(
@@ -73,7 +192,7 @@ class SpanGrowthMixin:
         if not self._index.can_grow():
             return False  # every window already spans its whole group
         grown = self._index.grow_from_needs(
-            self._measure_needs()[0], headroom=1.5
+            self._current_needs(), headroom=1.5
         )
         if grown is None:
             # device reported overflow but host needs say covered: the

@@ -198,6 +198,13 @@ class MultiChipEmbedder(SpanGrowthMixin):
     def _span_positions_np(self):
         return np.asarray(self._state.positions, np.float64)
 
+    def _span_device_args(self):
+        # replicated state: the single-device needs measurement applies
+        return (
+            self._state.positions, self._inv_w, self._weights,
+            self._dg.colors,
+        )
+
     def _swap_index(self, new_index) -> None:
         """Install a regrown span index; rebuild the sharded step only when
         the work list outgrew its padding bucket (shape change)."""
@@ -233,34 +240,22 @@ class MultiChipEmbedder(SpanGrowthMixin):
             if max_iterations is None
             else max_iterations
         )
-        stop_on_overflow = isinstance(self._index, span_mod.SpanIndex)
         with self.timer.phase("embedding_all", "Embedding"):
-            while True:
+            # shared growth/shrink protocol: SpanGrowthMixin._drive_device_loop
+            def run_segment(seg_cap, stop_on_overflow):
                 self._state = multichip_run_embedding(
                     self._run.step_fn,
                     self._state,
                     self._weights,
                     self._inv_w,
-                    cap,
+                    seg_cap,
                     self.opts.position_min_change,
                     stop_on_overflow,
                     self._tables,
                 )
                 self._state.positions.block_until_ready()
-                if int(self._state.iteration) >= cap:
-                    break
-                if int(self._state.overflow) == 0:
-                    break
-                if self._grow_spans():
-                    self._announce_growth(int(self._state.overflow))
-                else:
-                    if not stop_on_overflow:
-                        break
-                    stop_on_overflow = False
-                self._state = self._state._replace(
-                    pos_change=jnp.asarray(jnp.inf, jnp.float32),
-                    overflow=jnp.asarray(0, jnp.int32),
-                )
+
+            self._drive_device_loop(run_segment, cap)
 
     def is_finished(self) -> bool:
         return int(self._state.iteration) >= self.opts.max_iterations or (

@@ -22,14 +22,22 @@ Structure:
      dist*ws <= L implies dist <= L*(w_u*w_v)^(1/d) <= L*(w_u*bmax)^(1/d)
      = the candidate radius.  Group membership is static (weights are
      constant), giving every shape below compile-time values.
-  2. Per step, one device-side (group, projection) lexsort orders all
-     vertices; the same order yields BOTH the per-group sorted member
-     arrays (span side, padded to _ST tiles) and the query blocks
-     (padded to _Q rows per group).
+  2. Each group is further split into ROWS — equal-population bins of
+     the group's members by FIRST-principal-axis rank, with static
+     512-aligned sizes (population ~ sqrt(_Q * group_size), the swept-
+     area minimizer).  Per step, two device lexsorts order all vertices
+     (group, first axis) then (row, second axis); the same order yields
+     BOTH the per-row sorted member arrays (span side, padded to _ST
+     tiles) and the query blocks (padded to _Q rows per row).  Candidate
+     windows prune in BOTH axes: rows beyond a block's conservative
+     first-axis reach need no window, in-reach rows get a second-axis
+     searchsorted window.  (The single-level r03 layout measured
+     ~0.1-0.4% sweep occupancy at 100K-1M; two-level binning cuts the
+     swept area per block from O(extent * r) to O((block + r)^2).)
   3. The work list is a STATIC flattening of (query block i, target
-     group g, span tile t): for each pair the span tile count T[qg,g]
-     is fixed by the span-size heuristic, while the tile *positions*
-     (which part of group g's sorted members block i scans) are dynamic
+     row g, span tile t): for each pair the span tile count T[i,g]
+     is sized from measured needs, while the tile *positions*
+     (which part of row g's sorted members block i scans) are dynamic
      searchsorted window starts, fed to the kernel as a scalar-prefetch
      array that BlockSpec index maps consume.  One pallas_call walks all
      work tiles; output blocks are revisited across consecutive tiles of
@@ -64,7 +72,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 _Q = 256  # queries per block
-_ST = 512  # span elements per work tile
+_ST = 256  # span elements per work tile (256: window needs average
+# a few hundred members, so 512-wide tiles paid ~2x quantization waste)
 _GROUP_MIN = 2048  # merge doubling classes until a group has this many
 _Q_SENTINEL = 1e15  # padded query position (far positive)
 _S_SENTINEL = -1e15  # padded member position (far negative; never coincides
@@ -79,10 +88,23 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None, headroom=1.6):
+def _bucket_size(w: int, headroom: float) -> int:
+    """Canonical work-list bucket for W tiles: 512 * 2^k >= headroom*W.
+    A geometric LADDER (not headroom-proportional rounding) so that a
+    list shrinking back to a pre-bulge size lands on the EXACT bucket it
+    compiled with before — a persistent-cache hit instead of a fresh
+    ~40s+ tunnel compile.  Padding tiles only pay the pallas grid-step
+    cost (same-block DMA, compute skipped)."""
+    need = max(512, int(np.ceil(w * headroom)))
+    k = max(0, int(np.ceil(np.log2(need / 512.0))))
+    return 512 << k
+
+
+def _assemble_work_tiles(nb, b, blk_t, row_pad_off, pad_to=None, headroom=1.6):
     """Static (W, qblk, pair, off, first) work-tile tables from per-block
     tile counts — the flattened pallas grid order (block-major so output
-    blocks are revisited on consecutive grid steps).
+    blocks are revisited on consecutive grid steps).  ``b`` is the width
+    of the second window axis (target ROWS since r04).
 
     The list is PADDED to a bucketed length (1.6x headroom rounded to
     512): the pallas grid size is a compile-time shape, but the table
@@ -97,7 +119,7 @@ def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None, headroom=1.6)
     # vectorized flattening (the list is rebuilt on every growth event and
     # reaches ~1e5+ tiles at million-vertex scale — a python loop here was
     # a visible slice of embedder-build time)
-    tile_off = (np.asarray(group_pad_off) // _ST).astype(np.int64)
+    tile_off = (np.asarray(row_pad_off) // _ST).astype(np.int64)
     blk_t = np.asarray(blk_t, np.int64)  # (nb, b)
     flat_t = blk_t.reshape(-1)  # pair-major: i * b + g
     w = int(flat_t.sum())
@@ -117,7 +139,7 @@ def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None, headroom=1.6)
     if pad_to is not None and w <= pad_to:
         w_pad = pad_to  # fits the existing bucket: keep shapes identical
     else:
-        w_pad = max(512, _round_up(int(np.ceil(w * headroom)), 512))
+        w_pad = _bucket_size(w, headroom)
     pad = w_pad - w
     wt_qblk = np.concatenate([qblk, np.full(pad, nb, np.int64)])
     wt_pair = np.concatenate([pair_of_tile, np.zeros(pad, np.int64)])
@@ -142,56 +164,83 @@ def _assemble_work_tiles(nb, b, blk_t, group_pad_off, pad_to=None, headroom=1.6)
 class SpanIndex:
     """Static skeleton of the fused span index (host-built once per
     embedder / span growth).  All fields are numpy or python — nothing
-    here depends on positions."""
+    here depends on positions.
+
+    TWO-LEVEL layout (r04): each merged weight group is split into ROWS —
+    equal-population bins of the group's members by their rank along the
+    FIRST principal axis, with every row size a multiple of 512 except
+    the group's last (so rows never straddle query blocks or span
+    tiles).  Per step, members are binned by first-axis rank (row
+    membership is a STATIC function of that rank) and sorted within each
+    row by the SECOND principal axis; candidate windows live per
+    (query block, target row) and prune in BOTH axes: rows outside the
+    conservative first-axis reach need no window at all, and in-reach
+    rows get a second-axis searchsorted window.  The 1-D layout (one row
+    per group) measured ~0.1-0.4% sweep occupancy at 100K-1M because a
+    256-query block's conservative window had to span every member
+    within radius along a single axis; two-level binning cuts the swept
+    area from O(extent * r) to O((block + r)^2) per block.
+
+    Row population rule: sqrt(_Q * group_size) rounded to 512 — the
+    minimizer of per-block swept members (window rows x row width) for
+    uniform density, independent of the radius."""
 
     n: int
     d: int
     num_channels: int  # C: channel/row count of qdata / sdata / out
-    num_groups: int  # B
+    num_groups: int  # B: merged weight groups (radius semantics)
+    num_rows: int  # R: total rows (window granularity)
     nb: int  # NB: total query blocks
     w: int  # W: total work tiles (pallas grid size)
+    # row tables (R,)
+    row_group: np.ndarray  # group of each row
+    row_sizes: np.ndarray  # members per row
+    row_moff: np.ndarray  # member offset of row in sorted order
+    row_qoff: np.ndarray  # query offset (padded to _Q blocks)
+    row_pad_off: np.ndarray  # member offset in ST-padded layout
+    row_tiles: np.ndarray  # n_tiles per row
     # group tables (B,)
-    group_sizes: np.ndarray  # n_b
-    group_moff: np.ndarray  # member offset of group in sorted order
-    group_qoff: np.ndarray  # query offset (padded to _Q blocks)
-    group_pad_off: np.ndarray  # member offset in ST-padded layout
-    group_tiles: np.ndarray  # n_tiles per group
     bmaxpow: np.ndarray  # f32 bmax_g^(1/d)
-    t_table: np.ndarray  # (B, B) INITIAL sizing heuristic per (query
-    # group, target group); growth/shrink operate on the per-block blk_t
     # per-vertex static
     group_of: np.ndarray  # (n,) int32
     class_bm2: np.ndarray  # (n,) f32: per-DOUBLING-CLASS max^(2/d) — the
     # reference's candidate radius factor (WeightedIndex.cpp:65-81); used
     # for the kernel's count/radius channel so num_rep_forces matches the
-    # per-class counts of the reference/jnp paths (group merging only
-    # affects window COVERAGE, not the counted candidate set)
-    # sorted-order static offset vectors (n,)
-    sorted_moff: np.ndarray  # m_off of the group of sorted position j
+    # per-class counts of the reference/jnp paths (group merging and row
+    # binning only affect window COVERAGE, not the counted candidate set)
+    # sorted-order static vectors (n,): the row occupying sorted rank j
+    # is a STATIC function of j (rows are fixed rank ranges)
+    row_of_sorted: np.ndarray  # row id of sorted position j
+    sorted_moff: np.ndarray  # row_moff of the row of sorted position j
     sorted_shift_pad: np.ndarray  # pad_off - m_off per sorted position
     sorted_shift_q: np.ndarray  # q_off - m_off per sorted position
+    # padded-slot -> sorted-rank gather maps (static; rank n = sentinel)
+    src_of_pad: np.ndarray  # (NPA,)
+    src_of_q: np.ndarray  # (NQ,)
+    # per-block static member-rank extents (first/last rank in block)
+    blk_first: np.ndarray  # (NB,)
+    blk_last: np.ndarray  # (NB,)
     # member-padded static rows
     bmaxpow_padded: np.ndarray  # (NPA,) f32: bmaxpow of each padded slot
     # work-tile static tables (W,)
     wt_qblk: np.ndarray  # query block per work tile
-    wt_pair: np.ndarray  # flattened (qblk * B + g) per work tile
-    wt_off: np.ndarray  # tile_off[g] + t per work tile (static part of stile)
+    wt_pair: np.ndarray  # flattened (qblk * R + row) per work tile
+    wt_off: np.ndarray  # tile_off[row] + t per work tile (static part of stile)
     wt_first: np.ndarray  # 1 on the first tile of each query block
     # per-block static
-    blk_t: np.ndarray  # (NB, B) T of each (block, group)
-    blk_group: np.ndarray  # (NB,) query group of each block
+    blk_t: np.ndarray  # (NB, R) T of each (block, row)
+    blk_row: np.ndarray  # (NB,) query row of each block
     # directed-edge correction arrays (padded to 512)
     edge_src: np.ndarray
     edge_dst: np.ndarray
     edge_mask: np.ndarray
-    edge_dst_group: np.ndarray
     edge_bmaxpow: np.ndarray  # per-class max^(1/d) of dst, static
     edge_row_ptr: np.ndarray  # (n+1,) CSR offsets into the padded edges
     span_scale: float
 
     @property
     def npa(self) -> int:  # padded member array length
-        return int(self.group_pad_off[-1] + self.group_tiles[-1] * _ST)
+        return int(self.row_pad_off[-1] + self.row_tiles[-1] * _ST)
 
     @property
     def w_pad(self) -> int:  # bucketed work-list length == pallas grid size
@@ -217,27 +266,26 @@ class SpanIndex:
         return int((self.nb + 1) * _Q)
 
     def can_grow(self) -> bool:
-        """False once every (query block, target group) window already
-        scans the whole target group — growth could not add candidates."""
-        return bool(np.any(self.blk_t < self.group_tiles[None, :]))
+        """False once every (query block, target row) window already
+        scans the whole target row — growth could not add candidates."""
+        return bool(np.any(self.blk_t < self.row_tiles[None, :]))
 
     def grow_from_needs(
         self, needs: np.ndarray, headroom: float = 1.3
     ) -> "SpanIndex | None":
-        """Adaptive growth: widen each (query BLOCK, target group) window
+        """Adaptive growth: widen each (query BLOCK, target row) window
         to its own MEASURED searchsorted need (``SpanStructures.need``,
-        (NB, B) member counts).  The reference never truncates (its radius
+        (NB, R) member counts).  The reference never truncates (its radius
         index is exact, WeightedIndex.cpp:65-100); this converges to the
         same no-truncation guarantee while only widening the windows that
         actually overflowed.
 
-        Sizing is PER BLOCK, not per (group, group) max: blocks are fixed
-        rank ranges of a group's projection-sorted members, and need
-        varies strongly along the axis (dense middle, sparse tails) —
-        collapsing to the group max cost ~3x the total work tiles on
-        girg100k (measured).  A block's need profile is stable across
-        steps because its RANK range is static even though its member set
-        churns.
+        Sizing is PER BLOCK, not per (row, row) max: blocks are fixed
+        rank ranges of a row's sorted members, and need varies strongly
+        along the axis (dense middle, sparse tails) — collapsing to the
+        group max cost ~3x the total work tiles on girg100k (measured).
+        A block's need profile is stable across steps because its RANK
+        range is static even though its member set churns.
 
         Needs are a MOVING target (clusters densify along the projection
         as the embedding evolves), so each growth takes ``headroom`` slack
@@ -252,16 +300,20 @@ class SpanIndex:
         # windows with zero measured need, which require zero tiles
         # (otherwise every growth event would resurrect all
         # shrink_empty'd windows)
-        min_tiles = np.where(needs > 0, -(-needs // _ST) + 1, 0)
+        min_tiles = np.where(needs > 0, -(-needs // _ST), 0)
         starved = min_tiles > self.blk_t
         # sizing carries +2 tiles (quantization + ~_ST members of churn
         # margin: block membership shifts along the projection between
         # steps, and re-starving a window costs a device-loop exit)
+        # +2 margin tiles: needs RISE steadily through the expansion
+        # phase, and every starvation costs a device-loop exit + host
+        # round trip (~0.3-0.5s via the tunnel) — two extra 256-member
+        # tiles per starved window buy far fewer repeat events
         need_tiles = -(-(needs * headroom).astype(np.int64) // _ST) + 2
         t_new = np.where(
             starved, np.maximum(need_tiles, 2 * self.blk_t), self.blk_t
         )
-        t_new = np.minimum(t_new, self.group_tiles[None, :])
+        t_new = np.minimum(t_new, self.row_tiles[None, :])
         if np.array_equal(t_new, self.blk_t):
             return None
         return self._with_blk_t(t_new)
@@ -280,7 +332,7 @@ class SpanIndex:
         measured doubling the whole work list (2.4x step cost) on one
         bad event."""
         t_new = np.minimum(
-            self.blk_t.astype(np.int64) + 1, self.group_tiles[None, :]
+            self.blk_t.astype(np.int64) + 1, self.row_tiles[None, :]
         )
         if np.array_equal(t_new, self.blk_t):
             return None
@@ -289,33 +341,83 @@ class SpanIndex:
     def resize_to_needs(
         self, needs: np.ndarray, headroom: float = 1.3
     ) -> "SpanIndex | None":
-        """Two-sided resize: size EVERY (query block, target group) window
+        """Two-sided resize: size EVERY (query block, target row) window
         to its measured need — shrinking over-provisioned windows as well
         as growing starved ones (zero-need windows drop to 0 tiles).
 
         Used at PRESIZE time only, where shrinking is safe: a window that
         later needs more coverage reports overflow and regrows
         (one-sided ``grow_from_needs``, which never shrinks, handles the
-        mid-run moving target without thrash)."""
+        mid-run moving target without thrash).  Re-buckets the work list
+        from scratch (``keep_bucket=False``): the construction-time
+        sizing heuristic knows nothing about the second-level row
+        pruning, so its bucket can be several times the resized need —
+        and padding tiles are only ~free in small numbers (the grid
+        still steps through them)."""
         needs = np.asarray(needs, np.int64)
         # +1 quantization tile only: presize windows regrow cheaply if the
         # run starves them, while an extra blanket tile costs one tile per
         # nonzero window (~38K tiles at million-vertex scale)
         t_new = np.where(
             needs > 0,
+            -(-(needs * headroom).astype(np.int64) // _ST),
+            0,
+        )
+        t_new = np.minimum(t_new, self.row_tiles[None, :])
+        if np.array_equal(t_new, self.blk_t):
+            return None
+        return self._with_blk_t(t_new, keep_bucket=False)
+
+    def shrink_to_needs(
+        self, needs: np.ndarray, headroom: float = 1.5, slack: int = 2
+    ) -> "SpanIndex | None":
+        """One-sided SHRINK for mid-run segment boundaries: windows more
+        than ``slack`` tiles above the grow_from_needs sizing drop to it,
+        and zero-need windows (rows that drifted out of first-axis
+        reach) drop to 0 tiles.  Healthy and starved windows are
+        untouched — overflow-driven growth owns starvation.
+
+        Rationale: the mid-run candidate bulge (positions contract before
+        spreading) inflates windows that one-sided growth never deflates
+        — measured 6x work-tile inflation at 100K under the two-level
+        layout, whose many small windows each carry quantization + churn
+        margins.  The slack is ADDITIVE (one spare tile): most windows
+        are 1-3 tiles, so any multiplicative band would never fire for
+        them (the r04 first-cut x2 band shrank nothing on real runs).
+        Thrash-free by construction: a freshly grown window sits exactly
+        at the shrink target.  Shrink-only => always fits the current
+        w_pad bucket; when the bucket itself is >= 4x oversized for the
+        shrunk list (bulge-era growth blew it up: padding tiles still
+        pay grid steps), re-bucket down — the geometric bucket ladder
+        makes the smaller bucket a previously-compiled size, so the
+        recompile is a persistent-cache hit."""
+        needs = np.asarray(needs, np.int64)
+        target = np.where(
+            needs > 0,
             -(-(needs * headroom).astype(np.int64) // _ST) + 1,
             0,
         )
-        t_new = np.minimum(t_new, self.group_tiles[None, :])
+        target = np.minimum(target, self.row_tiles[None, :])
+        t_new = np.where(
+            needs == 0,
+            0,
+            np.where(self.blk_t > target + slack, target, self.blk_t),
+        )
         if np.array_equal(t_new, self.blk_t):
             return None
-        return self._with_blk_t(t_new)
+        # >= 2 ladder rungs oversized -> re-bucket down (cache-hit compile)
+        oversized = _bucket_size(int(t_new.sum()), 1.6) * 4 <= self.w_pad
+        return self._with_blk_t(t_new, keep_bucket=not oversized)
 
-    def _with_blk_t(self, blk_t: np.ndarray) -> "SpanIndex":
-        """Same group skeleton, new per-(block, group) window widths:
-        reassemble the static work-tile list.  Keeps the current w_pad
-        bucket when the new list fits, so the regrown index reuses every
-        compiled executable."""
+    def _with_blk_t(
+        self, blk_t: np.ndarray, keep_bucket: bool = True
+    ) -> "SpanIndex":
+        """Same row skeleton, new per-(block, row) window widths:
+        reassemble the static work-tile list.  With ``keep_bucket`` the
+        current w_pad bucket is kept when the new list fits, so the
+        regrown index reuses every compiled executable; presize passes
+        False to drop an oversized construction-time bucket (recompiles
+        are free before the first compile)."""
         from dataclasses import replace
 
         blk_t = np.asarray(blk_t, np.int64)
@@ -324,8 +426,9 @@ class SpanIndex:
         # stays a zero-recompile table swap — padding tiles are ~free,
         # a step recompile costs ~40s+
         wt = _assemble_work_tiles(
-            self.nb, self.num_groups, blk_t, self.group_pad_off,
-            pad_to=self.w_pad, headroom=2.0,
+            self.nb, self.num_rows, blk_t, self.row_pad_off,
+            pad_to=self.w_pad if keep_bucket else None,
+            headroom=2.0 if keep_bucket else 1.6,
         )
         return replace(
             self,
@@ -388,42 +491,60 @@ class SpanIndex:
         )
         class_bm2 = (class_max[assignment] ** (2.0 / d)).astype(np.float32)
 
-        group_moff = np.concatenate([[0], np.cumsum(group_sizes)[:-1]])
-        group_tiles = np.maximum(1, -(-group_sizes // _ST))
-        group_pad_off = np.concatenate([[0], np.cumsum(group_tiles * _ST)[:-1]])
-        q_blocks = np.maximum(1, -(-group_sizes // _Q))
-        group_qoff = np.concatenate([[0], np.cumsum(q_blocks * _Q)[:-1]])
+        # ---- split each group into equal-population ROWS (first-axis
+        # rank bins).  Row population ~ sqrt(_Q * group_size) rounded to
+        # a 512 multiple (tile/block alignment) minimizes per-block swept
+        # members for uniform density; the last row of a group takes the
+        # remainder.  d == 1 has no second axis — one row per group
+        # reproduces the r03 single-level behavior exactly.
+        row_group_l, row_sizes_l = [], []
+        for g in range(b):
+            sz = int(group_sizes[g])
+            if d >= 2 and sz > 1024:
+                pop = _round_up(max(512, int(np.sqrt(_Q * sz))), 512)
+            else:
+                pop = _round_up(max(sz, 1), 512)
+            k = max(1, _cdiv(sz, pop))
+            for r in range(k):
+                row_group_l.append(g)
+                row_sizes_l.append(pop if r < k - 1 else sz - (k - 1) * pop)
+        rr = len(row_sizes_l)
+        row_group = np.asarray(row_group_l, np.int32)
+        row_sizes = np.asarray(row_sizes_l, np.int64)
+        row_moff = np.concatenate([[0], np.cumsum(row_sizes)[:-1]])
+        row_tiles = np.maximum(1, -(-row_sizes // _ST))
+        row_pad_off = np.concatenate([[0], np.cumsum(row_tiles * _ST)[:-1]])
+        q_blocks = np.maximum(1, -(-row_sizes // _Q))
+        row_qoff = np.concatenate([[0], np.cumsum(q_blocks * _Q)[:-1]])
         nb = int(np.sum(q_blocks))
+        blk_row = np.repeat(np.arange(rr, dtype=np.int32), q_blocks)
 
-        # ---- span tile counts per (query group, target group): the same
-        # sizing heuristic as the jnp path (expected block overlap + base
-        # window + conservative-radius fraction of the target group),
-        # evaluated per PAIR because the query-side weight bound is now the
-        # query group's own max, not a global light-query max
+        # ---- initial per-(block, row) window sizing: the r03 per-group
+        # heuristic (expected block overlap + base window + conservative-
+        # radius fraction of the target) applied at row granularity.  It
+        # knows nothing about first-axis row pruning, so it OVER-provisions
+        # by ~the row count; the presize protocol immediately resizes to
+        # measured needs (and re-buckets), so only direct-build users pay.
         spread = max(float(n) ** (1.0 / d), 1e-9)
-        t_table = np.zeros((b, b), np.int64)
-        for qg in range(b):
-            for tg in range(b):
-                n_t = int(group_sizes[tg])
-                frac = min(
-                    1.0, 2.0 * L * float(bmaxpow[qg] * bmaxpow[tg]) / spread
-                )
-                s_target = span_scale * (
-                    3.0 * _Q * n_t / max(n, 1)
-                    + opts.window_capacity
-                    + frac * n_t
-                )
-                t_table[qg, tg] = min(
-                    max(1, _cdiv(int(np.ceil(s_target)), _ST)),
-                    int(group_tiles[tg]),
-                )
-
-        blk_group = np.repeat(np.arange(b, dtype=np.int32), q_blocks)
-        blk_t = t_table[blk_group]  # (NB, B)
+        qg = row_group[blk_row]  # (NB,)
+        frac = np.minimum(
+            1.0,
+            2.0 * L * bmaxpow[qg][:, None].astype(np.float64)
+            * bmaxpow[row_group][None, :].astype(np.float64) / spread,
+        )
+        s_target = span_scale * (
+            3.0 * _Q * row_sizes[None, :] / max(n, 1)
+            + opts.window_capacity
+            + frac * row_sizes[None, :]
+        )
+        blk_t = np.minimum(
+            np.maximum(1, -(-np.ceil(s_target).astype(np.int64) // _ST)),
+            row_tiles[None, :],
+        )
 
         # ---- static work-tile tables
         w, wt_qblk, wt_pair, wt_off, wt_first = _assemble_work_tiles(
-            nb, b, blk_t, group_pad_off
+            nb, rr, blk_t, row_pad_off
         )
 
         # channel count: [pos(d), invw, Lwpow|colorpad, bmaxpow, ...] and the
@@ -442,52 +563,69 @@ class SpanIndex:
         # padded rows contribute exact zeros (mask -> coeff 0)
         esrc_p = np.concatenate([esrc, np.full(pad, n - 1, np.int32)])
         edst_p = np.concatenate([edst, np.zeros(pad, np.int32)])
-        eg = group_of[edst_p]
 
-        sorted_moff = np.repeat(group_moff, group_sizes).astype(np.int32)
+        row_of_sorted = np.repeat(
+            np.arange(rr, dtype=np.int32), row_sizes
+        )
+        sorted_moff = np.repeat(row_moff, row_sizes).astype(np.int32)
         sorted_shift_pad = np.repeat(
-            group_pad_off - group_moff, group_sizes
+            row_pad_off - row_moff, row_sizes
         ).astype(np.int32)
         sorted_shift_q = np.repeat(
-            group_qoff - group_moff, group_sizes
+            row_qoff - row_moff, row_sizes
         ).astype(np.int32)
-        bmaxpow_padded = np.zeros(
-            int(group_pad_off[-1] + group_tiles[-1] * _ST), np.float32
-        )
-        for g in range(b):
-            o = int(group_pad_off[g])
-            bmaxpow_padded[o : o + int(group_sizes[g])] = bmaxpow[g]
+        npa = int(row_pad_off[-1] + row_tiles[-1] * _ST)
+        nq = (nb + 1) * _Q
+        bmaxpow_padded = np.zeros(npa, np.float32)
+        src_of_pad = np.full(npa, n, np.int64)
+        src_of_q = np.full(nq, n, np.int64)
+        blk_first_l, blk_last_l = [], []
+        for r in range(rr):
+            o, sz = int(row_moff[r]), int(row_sizes[r])
+            po, qo = int(row_pad_off[r]), int(row_qoff[r])
+            bmaxpow_padded[po : po + sz] = bmaxpow[row_group[r]]
+            src_of_pad[po : po + sz] = np.arange(o, o + sz)
+            src_of_q[qo : qo + sz] = np.arange(o, o + sz)
+            for li in range(_cdiv(sz, _Q)):
+                blk_first_l.append(o + li * _Q)
+                blk_last_l.append(o + min((li + 1) * _Q, sz) - 1)
+        assert len(blk_first_l) == nb
 
         return SpanIndex(
             n=n,
             d=d,
             num_channels=c,
             num_groups=b,
+            num_rows=rr,
             nb=nb,
             w=w,
-            group_sizes=group_sizes,
-            group_moff=group_moff.astype(np.int64),
-            group_qoff=group_qoff.astype(np.int64),
-            group_pad_off=group_pad_off.astype(np.int64),
-            group_tiles=group_tiles.astype(np.int64),
+            row_group=row_group,
+            row_sizes=row_sizes,
+            row_moff=row_moff.astype(np.int64),
+            row_qoff=row_qoff.astype(np.int64),
+            row_pad_off=row_pad_off.astype(np.int64),
+            row_tiles=row_tiles.astype(np.int64),
             bmaxpow=bmaxpow,
-            t_table=t_table,
             group_of=group_of,
             class_bm2=class_bm2,
+            row_of_sorted=row_of_sorted,
             sorted_moff=sorted_moff,
             sorted_shift_pad=sorted_shift_pad,
             sorted_shift_q=sorted_shift_q,
+            src_of_pad=src_of_pad,
+            src_of_q=src_of_q,
+            blk_first=np.asarray(blk_first_l, np.int32),
+            blk_last=np.asarray(blk_last_l, np.int32),
             bmaxpow_padded=bmaxpow_padded,
             wt_qblk=wt_qblk,
             wt_pair=wt_pair,
             wt_off=wt_off,
             wt_first=wt_first,
             blk_t=blk_t.astype(np.int32),
-            blk_group=blk_group,
+            blk_row=blk_row,
             edge_src=esrc_p,
             edge_dst=edst_p,
             edge_mask=emask,
-            edge_dst_group=eg.astype(np.int32),
             # correction radius factor: per-CLASS max of the dst, matching
             # the kernel's count channel (reference WeightedIndex.cpp:65-81)
             edge_bmaxpow=np.sqrt(class_bm2[edst_p]).astype(np.float32),
@@ -498,10 +636,42 @@ class SpanIndex:
         )
 
 
+def _host_axes2(positions: np.ndarray, d: int):
+    """Numpy f32 mirror of candidates._principal_axes2 — the host MUST
+    track the device's axes as closely as possible: with near-equal top
+    eigenvalues (isotropic clouds, common at d >= 3) the power iterate
+    converges slowly and precision differences compound into materially
+    different axes — an f64 host axis once measured needs along a
+    different projection than the device scans, starving windows the
+    host believed covered."""
+    pos32 = np.asarray(positions, np.float32)
+    centered32 = pos32 - pos32.mean(axis=0)
+    cov = (centered32.T @ centered32).astype(np.float32)
+
+    def piter(c):
+        v = (np.full((d,), 1.0) + np.arange(d) * 1e-3).astype(np.float32)
+        v /= np.linalg.norm(v)
+        for _ in range(12):
+            w2 = c @ v
+            nv = np.linalg.norm(w2)
+            if nv > 0:
+                v = (w2 / nv).astype(np.float32)
+        return v
+
+    v1 = piter(cov)
+    lam = np.float32(v1 @ (cov @ v1))
+    v2 = piter((cov - lam * np.outer(v1, v1)).astype(np.float32))
+    v2 = (v2 - np.float32(v2 @ v1) * v1).astype(np.float32)
+    nv = np.linalg.norm(v2)
+    if nv > 1e-12:
+        v2 = (v2 / nv).astype(np.float32)
+    return v1, v2
+
+
 def measure_needs_host(
     positions: np.ndarray, weights: np.ndarray, idx: SpanIndex, opts
 ) -> tuple[np.ndarray, int]:
-    """Host-side (numpy) window-need measurement: the (NB, B) searchsorted
+    """Host-side (numpy) window-need measurement: the (NB, R) searchsorted
     member counts and total overflow that ``build_span_structures`` would
     report for these positions, WITHOUT touching the device.
 
@@ -509,7 +679,7 @@ def measure_needs_host(
     positions anyway — the eager device version cost ~80s of one-time
     remote compiles per source revision (the dominant embedder-build
     cost at 100K vertices) for what is an O(n log n) numpy job.  The
-    projection axis is an independent power iteration, so needs can
+    projection axes are an independent power iteration, so needs can
     differ from the device's by a handful of members near window edges;
     the growth headroom absorbs this, and the in-step overflow counter
     remains the ground truth."""
@@ -517,60 +687,68 @@ def measure_needs_host(
     pos = np.asarray(positions, np.float64)
     w = np.asarray(weights, np.float64)
     L = float(opts.edge_length)
-    b, nb = idx.num_groups, idx.nb
+    rr, nb = idx.num_rows, idx.nb
 
-    # power iteration in FLOAT32 to track the device's axis as closely as
-    # possible: with near-equal top eigenvalues (isotropic clouds, common
-    # at d >= 3) the iterate converges slowly and precision differences
-    # compound into materially different axes — f64 here once measured
-    # needs along a different projection than the device scans, starving
-    # windows the host believed covered
-    pos32 = pos.astype(np.float32)
-    centered32 = pos32 - pos32.mean(axis=0)
-    cov = (centered32.T @ centered32).astype(np.float32)
-    v = (np.full((d,), 1.0) + np.arange(d) * 1e-3).astype(np.float32)
-    v /= np.linalg.norm(v)
-    for _ in range(12):
-        v2 = cov @ v
-        v = (v2 / max(np.linalg.norm(v2), 1e-30)).astype(np.float32)
+    v1, v2 = _host_axes2(pos, d)
     centered = pos - pos.mean(axis=0)
-    proj = centered @ v.astype(np.float64)
+    y = centered @ v1.astype(np.float64)
+    x = centered @ v2.astype(np.float64) if d >= 2 else y
 
     group = idx.group_of
-    order = np.lexsort((proj, group))
-    proj_s = proj[order]
+    order1 = np.lexsort((y, group))
+    x_s1 = x[order1]
+    order = order1[np.lexsort((x_s1, idx.row_of_sorted))]
+    x_s = x[order]
+    y_ord = y[order]
+    y_s1 = y[order1]
     lw_s = (L * np.power(w, 1.0 / d))[order]
 
-    # per-block projection extrema and max lw (blocks are contiguous _Q
-    # chunks of each group's sorted members — same layout as the kernel)
-    minproj = np.empty(nb)
-    maxproj = np.empty(nb)
+    # per-block second-axis extrema (blocks are contiguous _Q chunks of
+    # each row's x-sorted members — same layout as the kernel), max lw,
+    # and first-axis extrema (y is NOT sorted within a block)
+    firsts = idx.blk_first
+    lasts = idx.blk_last
+    minx = x_s[firsts]
+    maxx = x_s[lasts]
     maxlw = np.empty(nb)
-    bi = 0
-    for g in range(b):
-        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
-        for li in range(_cdiv(sz, _Q)):
-            lo_i = o + li * _Q
-            hi_i = o + min((li + 1) * _Q, sz)
-            minproj[bi] = proj_s[lo_i]
-            maxproj[bi] = proj_s[hi_i - 1]
-            maxlw[bi] = lw_s[lo_i:hi_i].max()
-            bi += 1
-    assert bi == nb
+    ymin_blk = np.empty(nb)
+    ymax_blk = np.empty(nb)
+    for bi in range(nb):
+        sl = slice(int(firsts[bi]), int(lasts[bi]) + 1)
+        maxlw[bi] = lw_s[sl].max()
+        ymin_blk[bi] = y_ord[sl].min()
+        ymax_blk[bi] = y_ord[sl].max()
 
-    lo = minproj[:, None] - maxlw[:, None] * idx.bmaxpow[None, :]
-    hi = maxproj[:, None] + maxlw[:, None] * idx.bmaxpow[None, :]
-    start = np.empty((nb, b), np.int64)
-    stop = np.empty((nb, b), np.int64)
-    for g in range(b):
-        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
-        seg = proj_s[o : o + sz]
-        start[:, g] = np.searchsorted(seg, lo[:, g], side="left")
-        stop[:, g] = np.searchsorted(seg, hi[:, g], side="right")
-    need = stop - start
+    # row first-axis intervals: rows are contiguous rank ranges of the
+    # y-sorted order, so their extrema sit at static rank boundaries
+    row_ymin = y_s1[idx.row_moff]
+    row_ymax = y_s1[idx.row_moff + idx.row_sizes - 1]
+
+    bmax_row = idx.bmaxpow[idx.row_group]
+    reach = maxlw[:, None] * bmax_row[None, :]  # (NB, R)
+    overlap = (ymin_blk[:, None] - reach <= row_ymax[None, :]) & (
+        ymax_blk[:, None] + reach >= row_ymin[None, :]
+    )
+    lo = minx[:, None] - reach
+    hi = maxx[:, None] + reach
+    start = np.empty((nb, rr), np.int64)
+    stop = np.empty((nb, rr), np.int64)
+    for r in range(rr):
+        o, sz = int(idx.row_moff[r]), int(idx.row_sizes[r])
+        seg = x_s[o : o + sz]
+        start[:, r] = np.searchsorted(seg, lo[:, r], side="left")
+        stop[:, r] = np.searchsorted(seg, hi[:, r], side="right")
+    start = np.where(overlap, start, 0)
+    stop = np.where(overlap, stop, 0)
+    # ALIGNED need: members from the tile-aligned window start — sizing
+    # by ceil(need/_ST) tiles then GUARANTEES coverage at start_tile =
+    # floor(start/_ST) (the un-aligned count needed a +1 margin tile per
+    # window for worst-case alignment: ~5.8K pure-waste tiles at 100K).
+    # Empty windows (start == stop) must report 0, not start's offset.
+    need = np.where(stop > start, stop - (start // _ST) * _ST, 0)
 
     t_blk = idx.blk_t.astype(np.int64)
-    tiles = idx.group_tiles[None, :].astype(np.int64)
+    tiles = idx.row_tiles[None, :].astype(np.int64)
     start_tile = np.clip(
         np.minimum(-(-stop // _ST) - t_blk, start // _ST), 0, tiles - t_blk
     )
@@ -606,7 +784,6 @@ class EdgeChunk(NamedTuple):
     src: jax.Array  # (E_dev,) i32
     dst: jax.Array  # (E_dev,) i32
     mask: jax.Array  # (E_dev,) bool
-    dst_group: jax.Array  # (E_dev,) i32
     bmaxpow: jax.Array  # (E_dev,) f32
 
 
@@ -631,7 +808,6 @@ def build_edge_chunks(idx: SpanIndex, num_shards: int):
         src=stack(idx.edge_src),
         dst=stack(idx.edge_dst),
         mask=mask,
-        dst_group=stack(idx.edge_dst_group),
         bmaxpow=stack(idx.edge_bmaxpow),
     )
 
@@ -647,14 +823,15 @@ class SpanStructures(NamedTuple):
     sdata: jax.Array  # (C, NPA) f32
     scol: jax.Array  # (1, NPA) i32
     stile: jax.Array  # (W,) i32 — global span tile per work tile
-    start_tile: jax.Array  # (NB, B) i32 — local window start tiles
+    start_tile: jax.Array  # (NB, R) i32 — local window start tiles
     q_ids: jax.Array  # (NQ,) i32 — vertex per query slot, sentinel n
-    rank_of: jax.Array  # (n,) i32 — local sorted rank within own group
+    rank_of: jax.Array  # (n,) i32 — local sorted rank within own row
     block_of: jax.Array  # (n,) i32 — query block per vertex
     slot_of: jax.Array  # (n,) i32 — query SLOT per vertex (inverse q_ids)
+    row_of: jax.Array  # (n,) i32 — row of each vertex (dynamic per step)
     lwpow: jax.Array  # (n,) f32 — L * w^(1/d)
     overflow: jax.Array  # i32 scalar — candidates beyond the tile windows
-    need: jax.Array  # (NB, B) i32 — window members needed per (block, group)
+    need: jax.Array  # (NB, R) i32 — window members needed per (block, row)
 
 
 def build_span_structures(
@@ -665,43 +842,82 @@ def build_span_structures(
     idx: SpanIndex,
     opts,
     tables: "SpanTables | None" = None,
+    shard: tuple[str, int] | None = None,
 ) -> SpanStructures:
-    """Project positions onto the global principal axis and sort every
-    group's members (== queries) by projection; derive the dynamic window
-    start tiles from per-block conservative projection bounds.
+    """Two-level sort: bin every group's members into equal-population
+    rows by FIRST-principal-axis rank, sort each row by the SECOND axis;
+    derive the dynamic per-(block, row) windows from conservative bounds
+    in BOTH axes (rows beyond the first-axis reach get empty windows).
 
     ``tables`` supplies the growth-dependent window tables as traced
     arrays (default: this index's own, baked as constants).
 
     Compile-friendly by construction: ONE matrix scatter per side (not one
-    per channel), per-block projection extrema read by STATIC gather
-    indices (blocks are contiguous rank ranges), and all 2·NB·B window
-    bounds located by a single vectorized branchless binary search
-    (a 14-searchsorted-HLO version of this function took >10min to
-    compile on the TPU compile service)."""
-    from ..core.candidates import _principal_axis
+    per channel), per-block extrema read by STATIC gather indices or one
+    masked reshape reduction, and all 2·NB·R window bounds located by a
+    single vectorized branchless binary search (a 14-searchsorted-HLO
+    version of this function took >10min to compile on the TPU compile
+    service).
+
+    With ``shard=(axis_name, P)`` (inside shard_map, replicated inputs)
+    the REBUILD WORK is partitioned across the mesh: each device runs
+    the padded-layout gathers, the window binary search, and the
+    inverse-map scatter on a 1/P chunk, and one tiled ``all_gather`` /
+    ``psum`` per structure reassembles the full (replicated) result —
+    bitwise identical to the unsharded build, at O(n·C/P) gather compute
+    per device (the r03 halo backend replicated this whole O(n·C) build
+    on every device; VERDICT r3 item 7).  The sorts stay replicated —
+    measured at ~1% of the build (4.5ms of 169ms at 1M vertices), a
+    distributed sample-sort is not worth its complexity."""
+    from ..core.candidates import _principal_axes2
 
     n, d = positions.shape
     f32 = jnp.float32
     positions = positions.astype(f32)
-    b, nb = idx.num_groups, idx.nb
+    rr, nb = idx.num_rows, idx.nb
     c = idx.num_channels
     npa, nq = idx.npa, idx.nq
     L = float(opts.edge_length)
 
+    def sharded_rows(fn, m):
+        """Evaluate ``fn(offsets) -> rows`` over [0, m) in per-device
+        contiguous chunks and reassemble with one tiled all_gather —
+        bitwise identical to ``fn(arange(m))`` (clamped tail duplicates
+        land past row m and are sliced off)."""
+        if shard is None:
+            return fn(jnp.arange(m))
+        axis_name, num_shards = shard
+        per = -(-m // num_shards)
+        offs = lax.axis_index(axis_name) * per + jnp.arange(per)
+        part = fn(jnp.minimum(offs, m - 1))
+        full = lax.all_gather(part, axis_name, tiled=True)
+        return full[:m]
+
     centered = positions - jnp.mean(positions, axis=0)
-    axis = _principal_axis(centered)
-    proj = centered @ axis  # (n,)
+    v1, v2 = _principal_axes2(centered)
+    y = centered @ v1  # (n,) binning axis
+    # d == 1 has no second axis: search on the projection itself (the
+    # r03 single-level behavior; rows are whole groups there)
+    x = (centered @ v2) if d >= 2 else y
 
     group = jnp.asarray(idx.group_of)
-    order = jnp.lexsort((proj, group))  # (n,) group-major, projection-minor
+    # sort 1: (group, y) — establishes each vertex's first-axis rank,
+    # hence its ROW (a static function of that rank).  sort 2: (row, x)
+    # — expressed as a permutation COMPOSITION so no inverse scatter is
+    # needed: row_of_sorted is a static constant over sort-1 positions.
+    order1 = jnp.lexsort((y, group))
+    x_s1 = x[order1]
+    row_static = jnp.asarray(idx.row_of_sorted)
+    order = order1[jnp.lexsort((x_s1, row_static))]
 
     pos_s = positions[order]  # (n, d)
     invw_s = inv_w.astype(f32)[order]
     lwpow = (L * jnp.power(weights.astype(f32), f32(1.0 / d))).astype(f32)
     lwpow_s = lwpow[order]
     col_s = colors[order].astype(jnp.int32)
-    proj_s = proj[order]
+    x_s = x[order]
+    y_ord = y[order]
+    y_s1 = y[order1]
 
     j = jnp.arange(n, dtype=jnp.int32)
     q_idx = j + jnp.asarray(idx.sorted_shift_q)
@@ -711,13 +927,8 @@ def build_span_structures(
     # while row gathers stream at HBM speed.  Both padded sides read
     # through a STATIC (padded slot -> sorted position) map whose padding
     # slots point at a sentinel row appended to the value matrix.
-    src_of_pad = np.full(npa, n, np.int64)
-    src_of_q = np.full(nq, n, np.int64)
-    for g in range(b):
-        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
-        po, qo = int(idx.group_pad_off[g]), int(idx.group_qoff[g])
-        src_of_pad[po : po + sz] = np.arange(o, o + sz)
-        src_of_q[qo : qo + sz] = np.arange(o, o + sz)
+    src_of_pad = idx.src_of_pad
+    src_of_q = idx.src_of_q
 
     # ---- span-side padded rows (C, NPA):
     # [pos(d), invw, classmax^(2/d), ones, rawexp] — the radius factor
@@ -743,9 +954,10 @@ def build_span_structures(
         axis=1,
     )
     svals_ext = jnp.concatenate([svals, jnp.asarray(sent_s)], axis=0)
-    sdata = svals_ext[jnp.asarray(src_of_pad)].T  # (C, NPA)
+    src_pad = jnp.asarray(src_of_pad)
+    sdata = sharded_rows(lambda o: svals_ext[src_pad[o]], npa).T  # (C, NPA)
     col_ext = jnp.concatenate([col_s, jnp.asarray([-3], jnp.int32)])
-    scol = col_ext[jnp.asarray(src_of_pad)][None, :]  # (1, NPA)
+    scol = sharded_rows(lambda o: col_ext[src_pad[o]], npa)[None, :]
 
     # ---- query-side blocks (NB, _Q, C): [pos(d), invw, (L*w^(1/d))^2, rawexp]
     sent_q = np.zeros((1, c), np.float32)
@@ -763,41 +975,70 @@ def build_span_structures(
     )
     qvals_ext = jnp.concatenate([qvals, jnp.asarray(sent_q)], axis=0)
     src_q = jnp.asarray(src_of_q)
-    qdata = qvals_ext[src_q].reshape(nb + 1, _Q, c)
-    qcol = (
-        jnp.concatenate([col_s, jnp.asarray([-2], jnp.int32)])[src_q]
-        .reshape(nb + 1, _Q, 1)
+    qdata = sharded_rows(
+        lambda o: qvals_ext[src_q[o]], nq
+    ).reshape(nb + 1, _Q, c)
+    # auxiliary per-slot channels in ONE packed gather (TPU gathers are
+    # row-latency-bound — four separate NQ-row gathers cost ~4x one):
+    # [color, vertex id, L*w^(1/d), first-axis y]; the integer channels
+    # ride as BITCAST f32 (pure transport, exact for any int32)
+    aux = jnp.stack(
+        [
+            lax.bitcast_convert_type(
+                jnp.concatenate([col_s, jnp.asarray([-2], jnp.int32)]), f32
+            ),
+            lax.bitcast_convert_type(
+                jnp.concatenate(
+                    [order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
+                ),
+                f32,
+            ),
+            jnp.concatenate([lwpow_s, jnp.zeros((1,), f32)]),
+            jnp.concatenate([y_ord, jnp.zeros((1,), f32)]),
+        ],
+        axis=1,
+    )  # (n+1, 4)
+    aux_q = sharded_rows(lambda o: aux[src_q[o]], nq)
+    qcol = lax.bitcast_convert_type(aux_q[:, 0], jnp.int32).reshape(
+        nb + 1, _Q, 1
     )
-    q_ids = jnp.concatenate(
-        [order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
-    )[src_q]
+    q_ids = lax.bitcast_convert_type(aux_q[:, 1], jnp.int32)
 
-    # ---- per-block conservative projection windows -> dynamic start tiles.
-    # A block is a CONTIGUOUS rank range of its group, so its projection
-    # extrema are just proj_s at static first/last-rank indices.
-    firsts, lasts = [], []
-    for g in range(b):
-        o, sz = int(idx.group_moff[g]), int(idx.group_sizes[g])
-        nblk = _cdiv(sz, _Q)
-        for li in range(nblk):
-            firsts.append(o + li * _Q)
-            lasts.append(o + min((li + 1) * _Q, sz) - 1)
-    minproj = proj_s[np.asarray(firsts, np.int32)]  # (NB,)
-    maxproj = proj_s[np.asarray(lasts, np.int32)]
-    lw_q = jnp.concatenate([lwpow_s, jnp.zeros((1,), f32)])[src_q]
-    maxlw = jnp.max(lw_q.reshape(nb + 1, _Q)[:nb], axis=1)
+    # ---- per-block conservative windows in BOTH axes -> dynamic start
+    # tiles.  A block is a CONTIGUOUS rank range of its row, so its
+    # second-axis extrema are x_s at static first/last-rank indices; its
+    # first-axis extrema need a masked reduction (y is not sorted within
+    # a block).  Row first-axis intervals sit at static rank boundaries
+    # of the y-sorted order.
+    minx = x_s[jnp.asarray(idx.blk_first)]  # (NB,)
+    maxx = x_s[jnp.asarray(idx.blk_last)]
+    maxlw = jnp.max(aux_q[:, 2].reshape(nb + 1, _Q)[:nb], axis=1)
+    qmask = (q_ids < n).reshape(nb + 1, _Q)[:nb]
+    y_q = aux_q[:, 3].reshape(nb + 1, _Q)[:nb]
+    big = f32(np.float32(np.finfo(np.float32).max))
+    ymin_blk = jnp.min(jnp.where(qmask, y_q, big), axis=1)
+    ymax_blk = jnp.max(jnp.where(qmask, y_q, -big), axis=1)
 
-    bmax = jnp.asarray(idx.bmaxpow)  # (B,)
-    lo = minproj[:, None] - maxlw[:, None] * bmax[None, :]  # (NB, B)
-    hi = maxproj[:, None] + maxlw[:, None] * bmax[None, :]
+    row_ymin = y_s1[jnp.asarray(idx.row_moff.astype(np.int64))]
+    row_ymax = y_s1[
+        jnp.asarray((idx.row_moff + idx.row_sizes - 1).astype(np.int64))
+    ]
 
-    # one branchless binary search for all 2*NB*B bounds at once, each
-    # search confined to its target group's sorted rank range
-    moff = jnp.asarray(idx.group_moff.astype(np.int32))[None, :]  # (1, B)
+    bmax_row = jnp.asarray(idx.bmaxpow[idx.row_group])  # (R,)
+    reach = maxlw[:, None] * bmax_row[None, :]  # (NB, R)
+    overlap = (ymin_blk[:, None] - reach <= row_ymax[None, :]) & (
+        ymax_blk[:, None] + reach >= row_ymin[None, :]
+    )
+    lo = minx[:, None] - reach
+    hi = maxx[:, None] + reach
+
+    # one branchless binary search for all 2*NB*R bounds at once, each
+    # search confined to its target row's sorted rank range
+    moff = jnp.asarray(idx.row_moff.astype(np.int32))[None, :]  # (1, R)
     mend = jnp.asarray(
-        (idx.group_moff + idx.group_sizes).astype(np.int32)
+        (idx.row_moff + idx.row_sizes).astype(np.int32)
     )[None, :]
-    max_sz = int(np.max(idx.group_sizes))
+    max_sz = int(np.max(idx.row_sizes))
 
     def bsearch(value, right: bool):
         lo_i = jnp.broadcast_to(moff, value.shape)
@@ -807,7 +1048,7 @@ def build_span_structures(
             lo_i, hi_i = carry
             active = lo_i < hi_i
             mid = (lo_i + hi_i) // 2
-            v = proj_s[jnp.minimum(mid, n - 1)]
+            v = x_s[jnp.minimum(mid, n - 1)]
             pred = (v <= value) if right else (v < value)
             lo_i = jnp.where(active & pred, mid + 1, lo_i)
             hi_i = jnp.where(active & ~pred, mid, hi_i)
@@ -818,16 +1059,29 @@ def build_span_structures(
         )
         return lo_i - moff
 
-    start = bsearch(lo, right=False).astype(jnp.int32)  # (NB, B) local ranks
-    stop = bsearch(hi, right=True).astype(jnp.int32)
+    zero32 = jnp.asarray(0, jnp.int32)
+
+    def windows_chunk(o):
+        # both bounds for a chunk of query blocks (sharded_rows chunks
+        # the NB axis; the fori_loop work then scales 1/P per device)
+        s = jnp.where(
+            overlap[o], bsearch(lo[o], right=False).astype(jnp.int32), zero32
+        )
+        e = jnp.where(
+            overlap[o], bsearch(hi[o], right=True).astype(jnp.int32), zero32
+        )
+        return jnp.stack([s, e], axis=1)  # (chunk, 2, R)
+
+    bounds = sharded_rows(windows_chunk, nb)
+    start, stop = bounds[:, 0], bounds[:, 1]  # (NB, R) local ranks
 
     if tables is None:
         tables = idx.device_tables()
-    t_blk = tables.blk_t  # (NB, B) traced
-    tiles = jnp.asarray(idx.group_tiles.astype(np.int32))[None, :]
+    t_blk = tables.blk_t  # (NB, R) traced
+    tiles = jnp.asarray(idx.row_tiles.astype(np.int32))[None, :]
     # slide the T-tile window to cover [start, stop) when possible: prefer
     # ending at ceil(stop/ST), never starting after floor(start/ST), clamp
-    # into the group
+    # into the row
     start_tile = jnp.clip(
         jnp.minimum(-(-stop // _ST) - t_blk, start // _ST),
         0,
@@ -847,23 +1101,45 @@ def build_span_structures(
         start_tile.reshape(-1)[tables.wt_pair] + tables.wt_off
     ).astype(jnp.int32)
 
-    # ONE wide scatter builds all three inverse maps (XLA-TPU scatter cost
-    # is per ROW, so three separate (n,) scatters cost ~3x): local sorted
-    # rank, query block, and query SLOT of each vertex — the slot map lets
-    # the accumulator unsort kernel outputs by GATHER instead of an
-    # (NQ, d) scatter-add.  ``order`` is a permutation, hence unique.
-    inv = (
-        jnp.zeros((n, 3), jnp.int32)
-        .at[order]
-        .set(
-            jnp.stack(
-                [j - jnp.asarray(idx.sorted_moff), q_idx // _Q, q_idx],
-                axis=1,
-            ),
-            unique_indices=True,
-            mode="promise_in_bounds",
-        )
+    # ONE wide scatter builds all four inverse maps (XLA-TPU scatter cost
+    # is per ROW, so separate (n,) scatters cost proportionally more):
+    # row-local sorted rank, query block, query SLOT, and ROW of each
+    # vertex — the slot map lets the accumulator unsort kernel outputs by
+    # GATHER instead of an (NQ, d) scatter-add; the row map feeds the
+    # edge-correction coverage lookup (row membership is dynamic under
+    # two-level binning).  ``order`` is a permutation, hence unique.
+    # Sharded: each device scatters its chunk of sorted ranks into zeros
+    # (duplicate clamped tail rows masked to the all-zero row n) and one
+    # psum merges the disjoint partials.
+    inv_vals = jnp.stack(
+        [
+            j - jnp.asarray(idx.sorted_moff),
+            q_idx // _Q,
+            q_idx,
+            jnp.asarray(idx.row_of_sorted),
+        ],
+        axis=1,
     )
+
+    if shard is None:
+        inv = (
+            jnp.zeros((n, 4), jnp.int32)
+            .at[order]
+            .set(inv_vals, unique_indices=True, mode="promise_in_bounds")
+        )
+    else:
+        axis_name, num_shards = shard
+        per = -(-n // num_shards)
+        offs = lax.axis_index(axis_name) * per + jnp.arange(per)
+        valid = offs < n
+        o = jnp.minimum(offs, n - 1)
+        tgt = jnp.where(valid, order[o], n)  # spill row for clamped dups
+        part = (
+            jnp.zeros((n + 1, 4), jnp.int32)
+            .at[tgt]
+            .set(inv_vals[o], unique_indices=True, mode="promise_in_bounds")
+        )
+        inv = lax.psum(part, axis_name)[:n]
 
     return SpanStructures(
         qdata=qdata,
@@ -876,9 +1152,12 @@ def build_span_structures(
         rank_of=inv[:, 0],
         block_of=inv[:, 1],
         slot_of=inv[:, 2],
+        row_of=inv[:, 3],
         lwpow=lwpow,
         overflow=overflow,
-        need=stop - start,
+        need=jnp.where(
+            stop > start, stop - (start // _ST) * _ST, 0
+        ),  # aligned (see measure_needs_host)
     )
 
 
@@ -1264,7 +1543,6 @@ class _EdgeSlice(NamedTuple):
     src: jax.Array
     dst: jax.Array
     mask: jax.Array
-    dst_group: jax.Array
     bmaxpow: jax.Array
     e_off: jax.Array | None  # global position of row 0 (traced; None = 0)
     e_sel: jax.Array | None  # global row per slot (for kick parity)
@@ -1288,7 +1566,6 @@ def _slice_edge_tables(idx, structures, shard, edge_chunk=None) -> _EdgeSlice:
             src=edge_chunk.src,
             dst=edge_chunk.dst,
             mask=edge_chunk.mask,
-            dst_group=edge_chunk.dst_group,
             bmaxpow=edge_chunk.bmaxpow,
             e_off=sidx * edge_chunk.src.shape[0],
             e_sel=None,
@@ -1297,10 +1574,9 @@ def _slice_edge_tables(idx, structures, shard, edge_chunk=None) -> _EdgeSlice:
     esrc = jnp.asarray(idx.edge_src)
     edst = jnp.asarray(idx.edge_dst)
     emask = jnp.asarray(idx.edge_mask)
-    eg = jnp.asarray(idx.edge_dst_group)
     bmaxpow = jnp.asarray(idx.edge_bmaxpow)
     if shard is None:
-        return _EdgeSlice(esrc, edst, emask, eg, bmaxpow, None, None, overflow)
+        return _EdgeSlice(esrc, edst, emask, bmaxpow, None, None, overflow)
     axis_name, num_shards = shard
     e_full = int(esrc.shape[0])
     e_dev = -(-e_full // num_shards)
@@ -1313,7 +1589,6 @@ def _slice_edge_tables(idx, structures, shard, edge_chunk=None) -> _EdgeSlice:
         src=esrc[e_sel],
         dst=edst[e_sel],
         mask=emask[e_sel] & in_range,
-        dst_group=eg[e_sel],
         bmaxpow=bmaxpow[e_sel],
         e_off=e_off,
         e_sel=e_sel,
@@ -1327,13 +1602,13 @@ def _edge_sides(positions, inv_w, colors, structures, es: _EdgeSlice, d):
     TPU gathers are row-LATENCY-bound (~25ms per 9M-row gather on v5e
     regardless of row width), so the correction's ~10 separate per-vertex
     lookups cost ~10x two packed ones.  The dynamic per-vertex channels
-    [pos(d), invw, lwpow, rank, block, color] ride one (n, d+5) f32
+    [pos(d), invw, lwpow, rank, block, color, row] ride one (n, d+6) f32
     matrix; integer channels are exact as floats below 2^24, so the pack
     applies for n < 2^24 (~16.7M vertices) with the per-array fallback
     above that.
 
     Returns (psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst,
-    colneq)."""
+    row_dst, colneq)."""
     n = positions.shape[0]
     f32 = jnp.float32
     pos32 = positions.astype(f32)
@@ -1347,6 +1622,7 @@ def _edge_sides(positions, inv_w, colors, structures, es: _EdgeSlice, d):
                 structures.rank_of.astype(f32)[:, None],
                 structures.block_of.astype(f32)[:, None],
                 colors.astype(f32)[:, None],
+                structures.row_of.astype(f32)[:, None],
             ],
             axis=1,
         )
@@ -1360,6 +1636,7 @@ def _edge_sides(positions, inv_w, colors, structures, es: _EdgeSlice, d):
             sp[:, d + 1],
             sp[:, d + 3].astype(jnp.int32),
             dp[:, d + 2].astype(jnp.int32),
+            dp[:, d + 5].astype(jnp.int32),
             sp[:, d + 4] != dp[:, d + 4],
         )
     return (
@@ -1370,21 +1647,23 @@ def _edge_sides(positions, inv_w, colors, structures, es: _EdgeSlice, d):
         structures.lwpow[es.src],
         structures.block_of[es.src],
         structures.rank_of[es.dst],
+        structures.row_of[es.dst],
         colors[es.src] != colors[es.dst],
     )
 
 
 def _edge_inclusion(
-    structures, tables, es: _EdgeSlice, b, lwpow_src, block_src, rank_dst,
-    colneq, dist2,
+    structures, tables, es: _EdgeSlice, rr, lwpow_src, block_src, rank_dst,
+    row_dst, colneq, dist2,
 ):
     """Which edges' endpoints the kernel counted as candidates — the
     correction must mirror the kernel's inclusion EXACTLY (same per-class
     radius product, same covered tile windows, same color filter).
-    Coverage start AND length both come from traced per-(block, group)
-    tables, so every window resize is a zero-recompile swap."""
+    Coverage start AND length both come from traced per-(block, row)
+    tables, so every window resize is a zero-recompile swap; the dst ROW
+    is a dynamic per-step channel (two-level binning)."""
     r_e = lwpow_src * es.bmaxpow
-    cov_pair = block_src * b + es.dst_group
+    cov_pair = block_src * rr + row_dst
     # one packed lookup for (window start, window length) — two separate
     # 9M-row gathers cost 2x one, even from this small table
     covtab = jnp.stack(
@@ -1485,7 +1764,8 @@ def span_fused_forces(
         tables = idx.device_tables()
     if structures is None:
         structures = build_span_structures(
-            positions, inv_w, weights, colors, idx, opts, tables=tables
+            positions, inv_w, weights, colors, idx, opts, tables=tables,
+            shard=shard,
         )
     force_k, rep_loss, rep_count, zero_count = _kernel_accumulate(
         structures, idx, opts, tables, interpret, shard=shard
@@ -1494,9 +1774,8 @@ def span_fused_forces(
     es = _slice_edge_tables(idx, structures, shard)
     kick_shape = int(idx.edge_src.shape[0])
     row_ptr = jnp.asarray(idx.edge_row_ptr)
-    b = idx.num_groups
 
-    psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst, colneq = (
+    psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst, row_dst, colneq = (
         _edge_sides(positions, inv_w, colors, structures, es, d)
     )
     diff = pdst - psrc
@@ -1514,8 +1793,8 @@ def span_fused_forces(
     )
 
     included = _edge_inclusion(
-        structures, tables, es, b, lwpow_src, block_src, rank_dst, colneq,
-        dist2,
+        structures, tables, es, idx.num_rows, lwpow_src, block_src,
+        rank_dst, row_dst, colneq, dist2,
     )
     act_r = included & (dist2 * (ws * ws) <= f32(L * L)) & posd
     cr = jnp.where(act_r, f32(opts.repulsion_scale) * ws * inv_dist, 0.0)
@@ -1611,7 +1890,8 @@ def span_repulsion_forces(
         tables = idx.device_tables()
     if structures is None:
         structures = build_span_structures(
-            positions, inv_w, weights, colors, idx, opts, tables=tables
+            positions, inv_w, weights, colors, idx, opts, tables=tables,
+            shard=shard,
         )
     force, loss, count, zero_count = _kernel_accumulate(
         structures, idx, opts, tables, interpret, shard=shard
@@ -1624,16 +1904,15 @@ def span_repulsion_forces(
     # acc_corr).
     es = _slice_edge_tables(idx, structures, shard, edge_chunk)
     row_ptr = jnp.asarray(idx.edge_row_ptr)
-    b = idx.num_groups
 
-    psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst, colneq = (
+    psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst, row_dst, colneq = (
         _edge_sides(positions, inv_w, colors, structures, es, d)
     )
     diff = psrc - pdst
     dist2 = jnp.sum(diff * diff, axis=-1)
     included = _edge_inclusion(
-        structures, tables, es, b, lwpow_src, block_src, rank_dst, colneq,
-        dist2,
+        structures, tables, es, idx.num_rows, lwpow_src, block_src,
+        rank_dst, row_dst, colneq, dist2,
     )
     ws = (iw_src + iw_dst) if opts.additive_weights else (iw_src * iw_dst)
     posd = dist2 > 0
