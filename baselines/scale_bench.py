@@ -22,6 +22,7 @@ def main() -> None:
 
     from wembed_tpu.core import EmbedderOptions, WEmbedEmbedder
     from wembed_tpu.graphs import io
+    from wembed_tpu.kernels import span_sparse as span_mod
     from wembed_tpu.utils import set_seed
 
     path = sys.argv[1]
@@ -99,6 +100,17 @@ def main() -> None:
                 "rep_count": int(emb.state.num_rep_forces),
                 "work_tiles": getattr(emb._index, "w", None),
                 "w_pad": getattr(emb._index, "w_pad", None),
+                # counted candidates per computed pair lane (VERDICT r3
+                # item 5: the tile-size/grouping tuning signal)
+                "occupancy": (
+                    round(
+                        int(emb.state.num_rep_forces)
+                        / max(emb._index.w * span_mod._Q * span_mod._ST, 1),
+                        5,
+                    )
+                    if getattr(emb._index, "w", None)
+                    else None
+                ),
                 "span_scale": getattr(emb, "_span_scale", None),
                 "att_loss": round(float(emb.state.attract_loss), 1),
                 "rep_loss": round(float(emb.state.repel_loss), 1),
