@@ -15,7 +15,7 @@ include/wembed.h:50-168) and the python bindings
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Sequence
 
 import numpy as np

@@ -1510,12 +1510,30 @@ def span_query(
     if grid_w <= w_budget:
         return call(qblk, stile, first, grid_w)
 
+    # multi-chunk sweep as a fori_loop with a TRACED trip count:
+    #   * bounded memory — ONE accumulator + one in-flight chunk output
+    #     regardless of bucket size (an unrolled python loop materialized
+    #     every chunk's (NB+1, Q, C) output: the compiled step at a
+    #     bulge-grown 2^22-tile bucket demanded 21.3 GB of HBM and the
+    #     compile itself died, surfacing as a mid-run TPU device error
+    #     on the 1M layered trajectory)
+    #   * chunks past the REAL tile count never execute: the trip count
+    #     derives from the traced window tables, so a mostly-padding
+    #     bucket costs nothing beyond its last real chunk
     n_chunks = _cdiv(grid_w, w_budget)
     pad = n_chunks * w_budget - grid_w
     qblk_p = jnp.concatenate([qblk, jnp.full((pad,), idx.nb, jnp.int32)])
     stile_p = jnp.concatenate([stile, jnp.zeros((pad,), jnp.int32)])
-    acc = None
-    for ci in range(n_chunks):
+    w_real = jnp.sum(tables.blk_t, dtype=jnp.int32)  # real tiles, traced
+    if shard is not None:
+        axis_name, num_shards = shard
+        w_dev = -(-idx.w_pad // num_shards)
+        w_real = jnp.clip(
+            w_real - lax.axis_index(axis_name) * w_dev, 0, w_dev
+        )
+    trip = (w_real + w_budget - 1) // w_budget
+
+    def body(ci, acc):
         lo = ci * w_budget
         qblk_c = lax.dynamic_slice_in_dim(qblk_p, lo, w_budget)
         stile_c = lax.dynamic_slice_in_dim(stile_p, lo, w_budget)
@@ -1524,9 +1542,14 @@ def span_query(
         # a block accumulates via the summed partials
         prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qblk_c[:-1]])
         first_c = (qblk_c != prev).astype(jnp.int32)
-        out_c = call(qblk_c, stile_c, first_c, w_budget)
-        acc = out_c if acc is None else acc + out_c
-    return acc
+        return acc + call(qblk_c, stile_c, first_c, w_budget)
+
+    return lax.fori_loop(
+        0,
+        trip,
+        body,
+        jnp.zeros((idx.nb + 1, _Q, c), jnp.float32),
+    )
 
 
 def _csr_segment_sum(values, row_ptr, offset=None):

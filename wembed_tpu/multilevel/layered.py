@@ -143,6 +143,17 @@ class LayeredEmbedder:
                     f"Expanding to layer {self.current_layer} "
                     f"(n={new_n}) at iteration {self.current_iteration}"
                 )
+            if new_n > 100_000:
+                # large finer layer: drop the coarser layers' compiled
+                # executables and their baked device constants before
+                # building the new step — ten layers of accumulated
+                # programs alongside a million-vertex layer's buffers
+                # crashed the device at 1M (the persistent disk cache
+                # keeps any recompile cheap)
+                import jax
+
+                self._current = None
+                jax.clear_caches()
             self._current = self._make_embedder(
                 finer.graph,
                 initial_coordinates=new_positions,
