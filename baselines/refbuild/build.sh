@@ -30,4 +30,8 @@ g++ -O3 -std=c++20 -fopenmp -Wno-unknown-pragmas $INC \
 echo "building eval_driver (quality metrics over evaluationLib)"
 g++ -O3 -std=c++20 -fopenmp -Wno-unknown-pragmas $INC \
   $SRCS "$HERE/eval_driver.cpp" -o "$OUT/eval_driver"
+echo "building dump_samples (NodeSampler sample-id dumper)"
+g++ -O2 -std=c++20 -Wno-unknown-pragmas $INC \
+  "$REF/src/utilLib/src/Rand.cpp" "$HERE/dump_samples.cpp" \
+  -o "$OUT/dump_samples"
 echo ok

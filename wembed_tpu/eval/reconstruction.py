@@ -34,13 +34,23 @@ def sample_node_entries(
     num_node_samples: int,
     rng: np.random.Generator | None = None,
     block: int = 64,
+    node_ids: np.ndarray | None = None,
 ) -> list[NodeEntry]:
     """Precision stats for ``num_node_samples`` random vertices
-    (NodeSampler::sampleHistEntries)."""
+    (NodeSampler::sampleHistEntries).
+
+    ``node_ids`` pins the sample set explicitly (cross-implementation
+    comparisons: feed the ids the reference's NodeSampler drew — its
+    Rand::randomPermutation prefix — so MAP deltas measure the embedding,
+    not 1000-sample variance)."""
     rng = rng or np.random.default_rng()
     n = g.num_vertices
-    num = min(num_node_samples, n)
-    sampled = rng.permutation(n)[:num]
+    if node_ids is not None:
+        sampled = np.asarray(node_ids, dtype=np.int64)
+        num = sampled.shape[0]
+    else:
+        num = min(num_node_samples, n)
+        sampled = rng.permutation(n)[:num]
 
     entries: list[NodeEntry] = []
     for start in range(0, num, block):
@@ -71,6 +81,7 @@ def reconstruction_metrics(
     num_node_samples: int = 1000,
     rng: np.random.Generator | None = None,
     method: str = "auto",
+    node_ids: np.ndarray | None = None,
 ) -> dict[str, float]:
     """constructDeg (mean precision@degree) and MAP
     (Reconstruction.cpp:6-30).
@@ -85,13 +96,19 @@ def reconstruction_metrics(
         try:
             from .device import sample_node_entries_device
 
-            entries = sample_node_entries_device(g, space, num_node_samples, rng)
+            entries = sample_node_entries_device(
+                g, space, num_node_samples, rng, node_ids=node_ids
+            )
         except NotImplementedError:
             if method == "device":
                 raise
-            entries = sample_node_entries(g, space, num_node_samples, rng)
+            entries = sample_node_entries(
+                g, space, num_node_samples, rng, node_ids=node_ids
+            )
     else:
-        entries = sample_node_entries(g, space, num_node_samples, rng)
+        entries = sample_node_entries(
+            g, space, num_node_samples, rng, node_ids=node_ids
+        )
     if not entries:
         return {"constructDeg": 0.0, "MAP": 0.0}
     return {
