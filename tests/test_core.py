@@ -366,6 +366,7 @@ def test_dump_weights(tmp_path, monkeypatch):
     np.testing.assert_allclose(row, emb.get_weights())
 
 
+@pytest.mark.slow
 def test_bucket_colors_above_2pow24_stay_distinct():
     """Colors are compared as int32 in the span pass — distinct ids that
     would collide after a float32 cast (>= 2^24) must still repel

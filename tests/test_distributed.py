@@ -36,6 +36,7 @@ def _setup(mode, n=300, d=2, seed=5):
 @pytest.mark.parametrize(
     "mode", [RepulsionMode.DENSE, RepulsionMode.BUCKET]
 )
+@pytest.mark.slow
 def test_sharded_step_matches_single_chip(mode):
     g, opts, coords, w = _setup(mode)
     mesh = make_mesh(8)
@@ -68,6 +69,7 @@ def test_sharded_step_matches_single_chip(mode):
     assert int(state.num_rep_forces) == int(single.state.num_rep_forces)
 
 
+@pytest.mark.slow
 def test_sharded_while_loop_runs():
     g, opts, coords, w = _setup(RepulsionMode.BUCKET, n=200, seed=9)
     mesh = make_mesh(8)
@@ -102,6 +104,7 @@ def test_sharded_negative_sampling_runs():
 # ------------------------------------------------------- vertex-sharded halo
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", [RepulsionMode.DENSE, RepulsionMode.BUCKET])
 def test_halo_step_matches_single_chip(mode):
     """The vertex-sharded halo step (distributed/halo.py) must reproduce
@@ -158,6 +161,7 @@ def test_halo_state_memory_is_sharded():
             assert s.data.shape[0] == halo.plan.R
 
 
+@pytest.mark.slow
 def test_halo_while_loop_convergence_soak():
     """Sharded convergence soak (VERDICT item 10): run the halo while-loop
     driver to convergence and compare against the single-chip device loop."""
@@ -203,6 +207,7 @@ def test_halo_while_loop_convergence_soak():
 # ------------------------------------------------------- sharded span kernel
 
 
+@pytest.mark.slow
 def test_sharded_span_matches_single_chip():
     """The fused span kernel under shard_map (work-tile chunks + edge
     ranges, psum'd partials) must reproduce the single-chip span step
@@ -264,6 +269,7 @@ def test_sharded_span_matches_single_chip():
         )
 
 
+@pytest.mark.slow
 def test_multichip_overflow_growth_recovers():
     """Forced window truncation on the mesh: the MultiChipEmbedder's
     device loop must exit on overflow, widen spans from measured needs,
@@ -295,6 +301,7 @@ def test_multichip_overflow_growth_recovers():
     assert np.isfinite(multi.get_coordinates()).all()
 
 
+@pytest.mark.slow
 def test_halo_span_matches_single_chip():
     """The span kernel under the HALO backend (sharded state, work-tile
     chunks, psum_scatter reduction) must reproduce the single-chip span
@@ -343,6 +350,7 @@ def test_halo_span_matches_single_chip():
         )
 
 
+@pytest.mark.slow
 def test_halo_overflow_growth_recovers():
     """Forced truncation on the halo backend must trigger the grow-and-
     resume protocol and finish with overflow == 0 (VERDICT r2 item 3:
@@ -373,6 +381,7 @@ def test_halo_overflow_growth_recovers():
     assert np.isfinite(halo.get_coordinates()).all()
 
 
+@pytest.mark.slow
 def test_halo_checkpoint_roundtrip(tmp_path):
     """Checkpoint a mid-run halo embedding, restore into a FRESH
     HaloEmbedder, and verify the state (positions, moments, iteration)
@@ -407,6 +416,7 @@ def test_halo_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_multihost_two_process_smoke():
     """jax.distributed across 2 CPU processes (2 virtual devices each):
     the replicated backend must run over the 4-device GLOBAL mesh and
@@ -481,6 +491,7 @@ def test_halo_edge_tables_sharded_memory():
     assert np.isfinite(halo.get_coordinates()).all()
 
 
+@pytest.mark.slow
 def test_halo_plan_skewed_degrees():
     """Halo capacity math (H, E_s bounds) under a power-law degree
     distribution plus an extreme hub: every directed edge must appear in
@@ -542,6 +553,7 @@ def test_halo_plan_skewed_degrees():
 # ------------------------------------------------- layered x distributed
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dist_mode", ["replicated", "halo"])
 def test_layered_distributed_matches_single_device(dist_mode):
     """Multilevel x distributed composition (VERDICT r3 item 6): a
@@ -628,6 +640,7 @@ def test_api_layered_distributed(dist_mode):
     assert isinstance(emb.impl._current, expected)
 
 
+@pytest.mark.slow
 def test_halo_span_5k_end_to_end():
     """Order-of-magnitude distributed span test (VERDICT r3 item 8): a
     ~5K-vertex GIRG embedded end-to-end through the vertex-sharded halo

@@ -155,6 +155,7 @@ def test_span_kernel_matches_dense_oracle(d, additive):
     assert int(cnt) >= int(cntd)  # merged radii only widen the candidate set
 
 
+@pytest.mark.slow
 def test_span_embedder_matches_jnp_bucket():
     """Embedder trajectories: fused_span="interpret" vs the jnp bucket path
     with identical inits — same active sets => same forces up to f32
@@ -214,6 +215,7 @@ def test_span_embedder_matches_jnp_bucket():
         assert int(cnt_s) == int(cnt_j)
 
 
+@pytest.mark.slow
 def test_span_overflow_grows_and_recovers():
     """A deliberately starved window table must report overflow, and the
     embedder's span growth must recover full coverage (final overflow 0)."""
@@ -241,6 +243,7 @@ def test_span_overflow_grows_and_recovers():
     assert int(ovf) == 0
 
 
+@pytest.mark.slow
 def test_span_adaptive_growth_covers_in_one_rebuild():
     """grow_from_needs widens exactly the starved windows: one rebuild
     from measured needs must reach overflow 0 and dense-oracle forces."""
@@ -415,6 +418,7 @@ def test_grow_all_fallback_terminates(monkeypatch):
     assert 0 < emb._growth_events <= 12
 
 
+@pytest.mark.slow
 def test_sharded_structure_build_matches_unsharded():
     """VERDICT r3 item 7: the per-step structure rebuild is work-
     partitioned across the mesh (chunked gathers / window search /
@@ -455,6 +459,7 @@ def test_sharded_structure_build_matches_unsharded():
         )
 
 
+@pytest.mark.slow
 def test_shrink_to_needs_reduces_and_stays_exact():
     """Segment-boundary shrink (r04): inflate every window to full row
     coverage (the post-bulge state), shrink to measured needs — tiles
@@ -501,3 +506,88 @@ def test_shrink_to_needs_reduces_and_stays_exact():
     np.testing.assert_allclose(float(loss), float(lossd), rtol=2e-4)
     # hysteresis: a second shrink pass with the same needs is a no-op
     assert shrunk.shrink_to_needs(needs) is None
+
+
+def test_grow_all_restricted_to_live_windows():
+    """grow_all must not resurrect zero-width zero-need windows: on the
+    r04 1M layered trajectory two unrestricted +1 events grew 546K
+    overlap-but-empty windows to 1.8M work tiles (real need 143K) and the
+    resulting 2^22-tile bucket recompile died mid-run."""
+    from wembed_tpu.core import weights as wmod
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, _, _ = generators.girg(
+        800, dim=2, avg_degree=8, ple=2.4, rng=np.random.default_rng(11)
+    )
+    opts = EmbedderOptions(embedding_dimension=2)
+    w = wmod.initial_weights(g, opts)
+    idx = span_mod.SpanIndex.build(w, opts, g.edge_src, g.col_idx)
+
+    # dead first half (zero width, zero need); alive second half pinned
+    # one tile below each row's cap so +1 growth is possible
+    blk_t = np.zeros_like(idx.blk_t, dtype=np.int64)
+    half = idx.nb // 2 + 1
+    blk_t[half:] = np.maximum(idx.row_tiles[None, :] - 1, 0)
+    grow_room = (blk_t[half:] < idx.row_tiles[None, :]).any()
+    assert grow_room  # the fixture must leave something to grow
+    idx0 = idx._with_blk_t(blk_t)
+    needs = np.zeros((idx.nb, idx.num_rows), np.int64)
+    needs[half:] = 1
+
+    grown = idx0.grow_all(needs)
+    assert grown is not None
+    assert int(grown.blk_t[:half].sum()) == 0  # dead windows stayed dead
+    expect = np.minimum(
+        blk_t[half:] + 1, np.broadcast_to(idx.row_tiles[None, :], blk_t[half:].shape)
+    )
+    np.testing.assert_array_equal(grown.blk_t[half:], expect)
+
+
+def test_stale_overflow_resumes_without_growth():
+    """Device-measured needs saying 'covered' while the state carries an
+    overflow flag means the overflow is STALE (positions moved one step
+    between the overflowing sweep and the measurement) — the driver must
+    resume the loop without growing anything, bounded at 3 consecutive
+    resumes before escalating to the additive live-window fallback."""
+    import jax.numpy as jnp
+
+    from wembed_tpu.core.options import RepulsionMode
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    g, _, _ = generators.girg(
+        600, dim=2, avg_degree=10, ple=2.3, rng=np.random.default_rng(3)
+    )
+    opts = EmbedderOptions(
+        embedding_dimension=2,
+        dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET,
+        fused_span="interpret",
+        max_iterations=3,
+    )
+    set_seed(13)
+    emb = WEmbedEmbedder(g, opts, verbose=False)
+    assert isinstance(emb._index, span_mod.SpanIndex)
+    emb.calculate_embedding()
+
+    # pin windows to one tile (below the row caps ⇒ can_grow is True) and
+    # the needs measurement to zero ⇒ grow_from_needs reports covered
+    idx1 = emb._index._with_blk_t(np.minimum(emb._index.blk_t, 1).astype(np.int64))
+    emb._swap_index(idx1)
+    emb._current_needs = lambda: np.zeros(
+        (idx1.nb, idx1.num_rows), np.int64
+    )
+    emb._needs_from_device = True
+    emb._state = emb._state._replace(overflow=jnp.asarray(7, jnp.int32))
+
+    events_before = emb._growth_events
+    for _ in range(3):
+        assert emb._grow_spans() is True  # resume, no growth
+        assert emb._index is idx1
+        assert emb._growth_events == events_before
+    # 4th consecutive stale overflow escalates to restricted grow_all
+    assert emb._grow_spans() is True
+    assert emb._index is not idx1
+    assert emb._growth_events == events_before + 1
+    grew = emb._index.blk_t.astype(np.int64) - idx1.blk_t
+    assert grew.max() == 1 and grew.min() >= 0
+    assert (grew[idx1.blk_t == 0] == 0).all()  # only live windows grew

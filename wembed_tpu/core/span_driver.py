@@ -74,6 +74,7 @@ class SpanGrowthMixin:
             if it >= cap:
                 break
             if int(self._state.overflow) == 0:
+                self._spurious_resumes = 0
                 if float(self._state.pos_change) < self.opts.position_min_change:
                     break  # genuinely converged, no truncation
                 # segment boundary: shrink only after a GROWTH-FREE
@@ -131,7 +132,10 @@ class SpanGrowthMixin:
         and for drivers without a replicated device view."""
         args = self._span_device_args()
         idx = self._index
-        if args is None or not isinstance(idx, span_mod.SpanIndex):
+        self._needs_from_device = args is not None and isinstance(
+            idx, span_mod.SpanIndex
+        )
+        if not self._needs_from_device:
             return self._measure_needs()[0]
         # the jitted closure bakes the index's STATIC layout (identical
         # across window swaps — dataclasses.replace shares the arrays);
@@ -184,20 +188,34 @@ class SpanGrowthMixin:
                 self._swap_index(resized)
 
     def _grow_spans(self) -> bool:
-        """Widen truncated windows; returns True if anything grew."""
+        """Widen truncated windows; returns True if the device loop
+        should resume (windows grew, or the overflow is stale — see
+        below)."""
         if not isinstance(self._index, span_mod.SpanIndex):
             return self._grow_spans_fallback()
         if self._growth_events >= _MAX_GROWTH_EVENTS:
             return False
         if not self._index.can_grow():
             return False  # every window already spans its whole group
-        grown = self._index.grow_from_needs(
-            self._current_needs(), headroom=1.5
-        )
+        needs = self._current_needs()
+        grown = self._index.grow_from_needs(needs, headroom=1.5)
         if grown is None:
-            # device reported overflow but host needs say covered: the
-            # independent projection axes diverged — defer to device truth
-            grown = self._index.grow_all()
+            # the overflowing step's positions are ONE update behind the
+            # measurement: when the measurement is the DEVICE's (same
+            # projection axes as the sweep), "covered" means the current
+            # windows fit the current positions — the overflow is stale
+            # (bulge turnaround: needs crested between the overflowing
+            # step and the exit), so just resume.  Bounded: persistent
+            # overflow-despite-covered (or the host mirror's divergent
+            # axes) falls through to the additive grow_all, restricted
+            # to live windows.
+            if getattr(self, "_needs_from_device", False):
+                self._spurious_resumes = getattr(
+                    self, "_spurious_resumes", 0
+                ) + 1
+                if self._spurious_resumes <= 3:
+                    return True
+            grown = self._index.grow_all(needs)
         if grown is None:
             return False
         self._growth_events += 1

@@ -310,29 +310,48 @@ class SpanIndex:
         # round trip (~0.3-0.5s via the tunnel) — two extra 256-member
         # tiles per starved window buy far fewer repeat events
         need_tiles = -(-(needs * headroom).astype(np.int64) // _ST) + 2
+        # windows sitting exactly AT capacity ("tight") are the next
+        # starvations (needs rise steadily mid-bulge; r04's 1M layered
+        # trajectory logged a growth event every ~2 iterations) — give
+        # them one proactive spare tile per event, far cheaper than the
+        # loop exits they would otherwise cause
+        tight = (min_tiles == self.blk_t) & (self.blk_t > 0)
         t_new = np.where(
-            starved, np.maximum(need_tiles, 2 * self.blk_t), self.blk_t
+            starved,
+            np.maximum(need_tiles, 2 * self.blk_t),
+            np.where(tight, self.blk_t + 1, self.blk_t),
         )
         t_new = np.minimum(t_new, self.row_tiles[None, :])
         if np.array_equal(t_new, self.blk_t):
             return None
         return self._with_blk_t(t_new)
 
-    def grow_all(self) -> "SpanIndex | None":
-        """Widen every window by one tile (zero-tile windows get 1).
+    def grow_all(self, needs: np.ndarray | None = None) -> "SpanIndex | None":
+        """Widen every LIVE window by one tile.
 
-        Device-truth fallback: the growth protocol sizes windows from the
-        HOST needs measurement, whose projection axis is a numpy replica
-        of the device's power iteration — if the axes still diverge
-        (rounding on near-equal top eigenvalues), the host can report
-        full coverage while the device overflows.  Callers use this when
-        ``grow_from_needs`` returns None but the device reported
-        overflow.  ADDITIVE on purpose: the divergence case needs a
-        margin around every window, and a multiplicative fallback was
-        measured doubling the whole work list (2.4x step cost) on one
-        bad event."""
+        Divergence fallback: the growth protocol sizes windows from a
+        needs measurement — when that measurement is the HOST mirror (a
+        numpy replica of the device's f32 power iteration), the axes can
+        diverge (rounding on near-equal top eigenvalues) and the host can
+        report full coverage while the device overflows.  Callers use
+        this when ``grow_from_needs`` returns None but the device
+        reported overflow.  ADDITIVE on purpose: the divergence case
+        needs a margin around every window, and a multiplicative fallback
+        was measured doubling the whole work list (2.4x step cost) on one
+        bad event.
+
+        LIVE = nonzero width or nonzero measured need.  An unrestricted
+        +1 resurrected every overlap-but-empty window: on the r04 1M
+        layered trajectory two such events grew 546K zero-need windows
+        to 1.8M work tiles (real need: 143K) and the following bucket
+        recompile (2^22 tiles) died in the compile service — the mid-run
+        'TPU device error' that killed the layered 1M run."""
+        live = self.blk_t > 0
+        if needs is not None:
+            live = live | (np.asarray(needs) > 0)
         t_new = np.minimum(
-            self.blk_t.astype(np.int64) + 1, self.row_tiles[None, :]
+            self.blk_t.astype(np.int64) + live.astype(np.int64),
+            self.row_tiles[None, :],
         )
         if np.array_equal(t_new, self.blk_t):
             return None
