@@ -591,3 +591,200 @@ def test_stale_overflow_resumes_without_growth():
     grew = emb._index.blk_t.astype(np.int64) - idx1.blk_t
     assert grew.max() == 1 and grew.min() >= 0
     assert (grew[idx1.blk_t == 0] == 0).all()  # only live windows grew
+
+
+# ---------------------------------------------------------- cell-compact
+
+
+def _cell_setup(n, d, additive=False, seed=7):
+    """(graph, opts, w, inv_w, positions, presized CellIndex, DeviceGraph)."""
+    import jax.numpy as jnp
+
+    from wembed_tpu.core.state import DeviceGraph
+    from wembed_tpu.kernels import span_compact as cc
+
+    g, _, _ = generators.girg(
+        n, dim=2, avg_degree=12, ple=2.2, rng=np.random.default_rng(seed)
+    )
+    opts = EmbedderOptions(embedding_dimension=d, additive_weights=additive)
+    w = weights_mod.initial_weights(g, opts)
+    inv_w = weights_mod.inv_exp_weights(w, d)
+    pos = np.random.default_rng(1).normal(
+        size=(g.num_vertices, d)
+    ).astype(np.float32) * 2.0
+    idx = cc.CellIndex.build(w, opts, g.edge_src, g.col_idx)
+    for _ in range(8):
+        needs, ovf = cc.measure_cell_needs_host(
+            np.asarray(pos, np.float64), w, idx, opts
+        )
+        if ovf == 0:
+            break
+        grown = idx.grow_from_needs(needs)
+        if grown is None:
+            break
+        idx = grown
+    resized = idx.resize_to_needs(needs)
+    if resized is not None:
+        idx = resized
+    return (
+        g,
+        opts,
+        jnp.asarray(w, jnp.float32),
+        jnp.asarray(inv_w, jnp.float32),
+        jnp.asarray(pos),
+        idx,
+        DeviceGraph.build(g),
+    )
+
+
+import jax.numpy as jnp  # noqa: E402  (test helpers below)
+
+
+@pytest.mark.parametrize("d,additive", [(3, False), (4, False), (3, True)])
+def test_cell_kernel_matches_dense_oracle(d, additive):
+    """The cell-compacted sweep (interpret mode) must reproduce the exact
+    dense-path repulsion when no block truncates — same contract as the
+    windowed span test, with the three-level layout exercised (multiple
+    rows AND cells)."""
+    from wembed_tpu.core import forces
+    from wembed_tpu.kernels import span_compact as cc
+
+    g, opts, w, inv_w, pos, idx, dg = _cell_setup(6000, d, additive)
+    assert idx.num_rows > 1 and idx.num_cells > idx.num_rows
+    f, loss, cnt, ovf, zc = cc.cell_repulsion_forces(
+        pos, inv_w, w, dg.colors, idx, opts, interpret=True
+    )
+    assert int(ovf) == 0
+    adj = forces.build_dense_adjacency(dg)
+    fd, lossd, cntd, zcd = forces.dense_repulsion_forces(
+        pos, inv_w, adj, dg.colors, opts
+    )
+    scale = float(jnp.max(jnp.abs(fd))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f) / scale, np.asarray(fd) / scale, atol=5e-5
+    )
+    np.testing.assert_allclose(float(loss), float(lossd), rtol=2e-4)
+    assert bool(jnp.all(zc == zcd))
+    assert int(cnt) >= int(cntd)
+
+
+def test_cell_counts_match_windowed_span():
+    """Both span layouts count the IDENTICAL per-class candidate set when
+    nothing truncates (the count channel's radius is per-target-class in
+    both; layouts only change window COVERAGE)."""
+    from wembed_tpu.kernels import span_compact as cc
+    from wembed_tpu.kernels import span_sparse as span_mod
+
+    d = 3
+    g, opts, w, inv_w, pos, idx, dg = _cell_setup(6000, d)
+    fc, lc, cnt_c, ovf_c, _ = cc.cell_repulsion_forces(
+        pos, inv_w, w, dg.colors, idx, opts, interpret=True
+    )
+    si = span_mod.SpanIndex.build(
+        np.asarray(w, np.float64), opts, g.edge_src, g.col_idx, span_scale=8.0
+    )
+    for _ in range(8):
+        needs, ovf = span_mod.measure_needs_host(
+            np.asarray(pos, np.float64), np.asarray(w, np.float64), si, opts
+        )
+        if ovf == 0:
+            break
+        grown = si.grow_from_needs(needs)
+        if grown is None:
+            break
+        si = grown
+    fs, ls, cnt_s, ovf_s, _ = span_mod.span_repulsion_forces(
+        pos, inv_w, w, dg.colors, si, opts, interpret=True
+    )
+    assert int(ovf_c) == 0 and int(ovf_s) == 0
+    assert int(cnt_c) == int(cnt_s)
+    scale = float(jnp.max(jnp.abs(fs))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fc) / scale, np.asarray(fs) / scale, atol=5e-5
+    )
+
+
+def test_cell_truncation_surfaces_and_growth_recovers():
+    """Starved per-block capacities must surface overflow (never silent)
+    and keep the edge correction consistent (only pairs the truncated
+    sweep actually counted get corrected); capacity growth from measured
+    needs recovers the exact untruncated result."""
+    from wembed_tpu.core import forces
+    from wembed_tpu.kernels import span_compact as cc
+
+    g, opts, w, inv_w, pos, idx, dg = _cell_setup(3000, 3)
+    full, loss_full, cnt_full, ovf0, _ = cc.cell_repulsion_forces(
+        pos, inv_w, w, dg.colors, idx, opts, interpret=True
+    )
+    assert int(ovf0) == 0
+
+    starved = idx._with_caps(np.minimum(idx.cap_t, 1))
+    f1, l1, c1, ovf1, _ = cc.cell_repulsion_forces(
+        pos, inv_w, w, dg.colors, starved, opts, interpret=True
+    )
+    assert int(ovf1) > 0
+    assert int(c1) < int(cnt_full)
+    assert np.isfinite(np.asarray(f1)).all()
+
+    regrown = starved
+    for _ in range(10):
+        needs, ovf = cc.measure_cell_needs_host(
+            np.asarray(pos, np.float64), np.asarray(w, np.float64),
+            regrown, opts,
+        )
+        if ovf == 0:
+            break
+        nxt = regrown.grow_from_needs(needs)
+        if nxt is None:
+            break
+        regrown = nxt
+    f2, l2, c2, ovf2, _ = cc.cell_repulsion_forces(
+        pos, inv_w, w, dg.colors, regrown, opts, interpret=True
+    )
+    assert int(ovf2) == 0
+    assert int(c2) == int(cnt_full)
+    scale = float(jnp.max(jnp.abs(full))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f2) / scale, np.asarray(full) / scale, atol=5e-5
+    )
+
+
+def test_cell_host_needs_mirror_matches_device():
+    """The numpy presize mirror and the in-jit structures build must agree
+    on per-block needs and overflow (same f32 power-iteration axes)."""
+    from wembed_tpu.kernels import span_compact as cc
+
+    g, opts, w, inv_w, pos, idx, dg = _cell_setup(4000, 3)
+    host_needs, host_ovf = cc.measure_cell_needs_host(
+        np.asarray(pos, np.float64), np.asarray(w, np.float64), idx, opts
+    )
+    s = cc.build_cell_structures(
+        pos.astype(jnp.float32), inv_w, w, dg.colors, idx, opts
+    )
+    np.testing.assert_array_equal(np.asarray(s.need), host_needs)
+    assert int(s.overflow) == host_ovf
+
+
+def test_cell_embedder_end_to_end_d3():
+    """span_layout='auto' picks the cell-compact index at d >= 3; the
+    embedder converges through the shared growth protocol."""
+    from wembed_tpu.core.options import RepulsionMode
+    from wembed_tpu.kernels import span_compact as cc
+
+    g, _, _ = generators.girg(
+        2000, dim=3, avg_degree=10, ple=2.4, rng=np.random.default_rng(4)
+    )
+    opts = EmbedderOptions(
+        embedding_dimension=3,
+        dtype="float32",
+        repulsion_mode=RepulsionMode.BUCKET,
+        fused_span="interpret",
+        max_iterations=30,
+    )
+    set_seed(9)
+    emb = WEmbedEmbedder(g, opts, verbose=False)
+    assert isinstance(emb._index, cc.CellIndex)
+    emb.calculate_embedding()
+    assert emb.iteration > 0
+    assert np.isfinite(emb.get_coordinates()).all()
+    assert int(emb.state.overflow) == 0

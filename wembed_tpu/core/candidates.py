@@ -442,6 +442,29 @@ def _principal_axes2(x_centered: jax.Array, iters: int = 12):
     return v1, v2
 
 
+def _principal_axes3(x_centered: jax.Array, iters: int = 12):
+    """(v1, v2, v3): the first THREE principal axes by twice-deflated
+    power iteration — the cell-compact span layout bins on v1 (rows) and
+    v2 (cells) and sorts/searches each cell on v3
+    (span_compact.build_cell_structures).  v1/v2 are bit-identical to
+    ``_principal_axes2`` (same iteration count, same deflation), so the
+    host mirror contract carries over."""
+    cov = x_centered.T @ x_centered  # (d, d)
+    v1 = _power_iteration(cov, iters)
+    lam1 = v1 @ (cov @ v1)
+    cov1 = cov - lam1 * jnp.outer(v1, v1)
+    v2 = _power_iteration(cov1, iters)
+    v2 = v2 - (v2 @ v1) * v1
+    norm = jnp.linalg.norm(v2)
+    v2 = jnp.where(norm > 1e-12, v2 / jnp.where(norm > 0, norm, 1.0), v2)
+    lam2 = v2 @ (cov1 @ v2)
+    v3 = _power_iteration(cov1 - lam2 * jnp.outer(v2, v2), iters)
+    v3 = v3 - (v3 @ v1) * v1 - (v3 @ v2) * v2
+    norm3 = jnp.linalg.norm(v3)
+    v3 = jnp.where(norm3 > 1e-12, v3 / jnp.where(norm3 > 0, norm3, 1.0), v3)
+    return v1, v2, v3
+
+
 def bucket_repulsion_forces(
     positions: jax.Array,
     inv_w: jax.Array,

@@ -80,7 +80,9 @@ def _restore_flat_state(data, embedder: WEmbedEmbedder) -> None:
         num_rep_forces=jnp.asarray(data["num_rep_forces"], jnp.int32),
         overflow=jnp.asarray(data["overflow"], jnp.int32),
     )
-    if isinstance(getattr(embedder, "_index", None), span_mod.SpanIndex):
+    from .span_driver import SPAN_TYPES
+
+    if isinstance(getattr(embedder, "_index", None), SPAN_TYPES):
         # size candidate windows from the RESTORED positions (growth is
         # needs-based, so replaying the original run's growth count would
         # size windows for the constructor's random init instead — the

@@ -23,6 +23,7 @@ from ..utils import rng as rng_mod
 from ..utils.timer import Timer, TimingResult
 from . import candidates as cand_mod
 from . import step as step_mod
+from ..kernels import span_compact as cell_mod
 from ..kernels import span_sparse as span_mod
 from . import weights as weights_mod
 from .options import EmbedderOptions, RepulsionMode
@@ -140,9 +141,17 @@ class WEmbedEmbedder(SpanGrowthMixin):
         mode = self.opts.resolve_repulsion_mode(self.graph.num_vertices)
         if self.opts.num_negative_samples < 0 and mode is RepulsionMode.BUCKET:
             if step_mod.resolve_fused_span(self._dg, self.opts) is not None:
-                # fused Pallas span path (kernels/span_sparse.py): its own
-                # merged-group skeleton replaces the jnp BucketIndex
-                self._index = span_mod.SpanIndex.build(
+                # fused Pallas span path: the cell-compact layout for
+                # d >= 3 (three-level pruning + per-block compaction,
+                # kernels/span_compact.py), the windowed layout otherwise
+                layout = self.opts.span_layout
+                use_cells = layout == "cells" or (
+                    layout == "auto" and self.opts.embedding_dimension >= 3
+                )
+                index_cls = (
+                    cell_mod.CellIndex if use_cells else span_mod.SpanIndex
+                )
+                self._index = index_cls.build(
                     self._weights_np,
                     self.opts,
                     self.graph.edge_src,
@@ -157,9 +166,11 @@ class WEmbedEmbedder(SpanGrowthMixin):
                     self.graph.col_idx,
                     span_scale=self._span_scale,
                 )
+        from .span_driver import SPAN_TYPES
+
         self._tables = (
             self._index.device_tables()
-            if isinstance(self._index, span_mod.SpanIndex)
+            if isinstance(self._index, SPAN_TYPES)
             else None
         )
         self._step_fn = step_mod.build_step(self._dg, self.opts, self._index)

@@ -84,6 +84,16 @@ class EmbedderOptions:
     # backends for the unsharded f32 bucket mode with index_size == 1,
     # "on"/"off" force it, "interpret" runs it in interpreter mode
     fused_span: str = "auto"
+    # span-kernel candidate layout: "windows" = per-(query block, target
+    # row) tile windows on the second principal axis (the proven d<=2
+    # layout), "cells" = three-level binning (rows x cells on the first
+    # two axes, windows on the THIRD) with per-query-block COMPACTION of
+    # window members into dense tiles (kernels/span_compact.py) — prunes
+    # one more axis AND removes the >=1-tile-per-window quantization
+    # floor that capped d>=3 sweep occupancy at ~0.1%.  "auto" = cells
+    # for d >= 3 on the single-chip path, windows otherwise (the
+    # distributed backends always use windows).
+    span_layout: str = "auto"
     # segment the device-side embedding loop every this many iterations to
     # let the host SHRINK over-provisioned span windows (the mid-run
     # candidate bulge inflates windows that overflow-driven growth alone

@@ -31,9 +31,29 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..kernels import span_compact as cell_mod
 from ..kernels import span_sparse as span_mod
 
 _MAX_GROWTH_EVENTS = 200  # runaway guard only; see module docstring
+
+# index types driven by the adaptive window/capacity protocol: the
+# windowed SpanIndex (d <= 2 and all distributed backends) and the
+# cell-compact CellIndex (d >= 3 single-chip) share its entire surface
+SPAN_TYPES = (span_mod.SpanIndex, cell_mod.CellIndex)
+
+
+def structures_builder(idx):
+    """The per-step structures constructor for a span-protocol index."""
+    if isinstance(idx, cell_mod.CellIndex):
+        return cell_mod.build_cell_structures
+    return span_mod.build_span_structures
+
+
+def needs_mirror(idx):
+    """The host-side needs measurement for a span-protocol index."""
+    if isinstance(idx, cell_mod.CellIndex):
+        return cell_mod.measure_cell_needs_host
+    return span_mod.measure_needs_host
 
 
 class SpanGrowthMixin:
@@ -54,7 +74,7 @@ class SpanGrowthMixin:
         jitted loop, updating ``self._state``; overflow-exit only pays
         off for the SpanIndex (zero-recompile table swaps), so other
         indexes run one uninterrupted loop with grow-at-convergence."""
-        span = isinstance(self._index, span_mod.SpanIndex)
+        span = isinstance(self._index, SPAN_TYPES)
         stop_on_overflow = span
         interval = int(getattr(self.opts, "span_resize_interval", 0) or 0)
         seg_growth = 0  # growth events since the last segment boundary
@@ -109,7 +129,7 @@ class SpanGrowthMixin:
         """Shrink over-provisioned windows to freshly measured needs
         (hysteresis in SpanIndex.shrink_to_needs keeps this from fighting
         the overflow-driven growth).  Always a zero-recompile table swap."""
-        if not isinstance(self._index, span_mod.SpanIndex):
+        if not isinstance(self._index, SPAN_TYPES):
             return
         shrunk = self._index.shrink_to_needs(self._current_needs())
         if shrunk is not None:
@@ -133,7 +153,7 @@ class SpanGrowthMixin:
         args = self._span_device_args()
         idx = self._index
         self._needs_from_device = args is not None and isinstance(
-            idx, span_mod.SpanIndex
+            idx, SPAN_TYPES
         )
         if not self._needs_from_device:
             return self._measure_needs()[0]
@@ -141,35 +161,38 @@ class SpanGrowthMixin:
         # across window swaps — dataclasses.replace shares the arrays);
         # window tables enter as traced inputs, so every growth/shrink
         # reuses the compiled program
-        if getattr(self, "_needs_fn_src", None) is not idx.src_of_pad:
+        # src_of_q identifies the static layout for BOTH index types
+        # (dataclasses.replace shares it across capacity/window swaps)
+        if getattr(self, "_needs_fn_src", None) is not idx.src_of_q:
             import jax
 
             opts = self.opts
             idx0 = idx
+            build_fn = structures_builder(idx0)
 
             @jax.jit
             def needs_fn(pos, inv_w, w, colors, tables):
-                s = span_mod.build_span_structures(
+                s = build_fn(
                     pos, inv_w, w, colors, idx0, opts, tables=tables
                 )
                 return s.need
 
             self._needs_fn = needs_fn
-            self._needs_fn_src = idx.src_of_pad
+            self._needs_fn_src = idx.src_of_q
         pos, inv_w, w, colors = args
         return np.asarray(
             self._needs_fn(pos, inv_w, w, colors, self._tables), np.int64
         )
     def _measure_needs(self):
         """Host-side window needs at the current positions."""
-        return span_mod.measure_needs_host(
+        return needs_mirror(self._index)(
             self._span_positions_np(), self._weights_np, self._index, self.opts
         )
 
     def _presize_spans(self) -> None:
         """Size windows for the CURRENT positions before stepping, so runs
         start untruncated (windows starve most at spread-out inits)."""
-        if not isinstance(self._index, span_mod.SpanIndex):
+        if not isinstance(self._index, SPAN_TYPES):
             return
         needs = None
         for _ in range(6):
@@ -191,7 +214,7 @@ class SpanGrowthMixin:
         """Widen truncated windows; returns True if the device loop
         should resume (windows grew, or the overflow is stale — see
         below)."""
-        if not isinstance(self._index, span_mod.SpanIndex):
+        if not isinstance(self._index, SPAN_TYPES):
             return self._grow_spans_fallback()
         if self._growth_events >= _MAX_GROWTH_EVENTS:
             return False

@@ -30,6 +30,7 @@ from jax import lax
 from . import candidates as cand_mod
 from . import forces
 from ..kernels import fused_dense as fused_mod
+from ..kernels import span_compact as cell_mod
 from ..kernels import span_sparse as span_mod
 from .optim import AdamParams, adam_update, simple_update
 from .options import EmbedderOptions, OptimizerType, RepulsionMode
@@ -138,14 +139,20 @@ def build_phase_fns(
     )
     span_mode = (
         resolve_fused_span(dg, opts)
-        if repel_kind == "bucket" and isinstance(index, span_mod.SpanIndex)
+        if repel_kind == "bucket"
+        and isinstance(index, (span_mod.SpanIndex, cell_mod.CellIndex))
         else None
     )
     if repel_kind == "bucket" and span_mode is not None:
+        _build_structs = (
+            cell_mod.build_cell_structures
+            if isinstance(index, cell_mod.CellIndex)
+            else span_mod.build_span_structures
+        )
 
         @jax.jit
         def index_fn(positions, weights, inv_w, rep_key):
-            return span_mod.build_span_structures(
+            return _build_structs(
                 positions, inv_w, weights, dg.colors, index, opts
             )
 
@@ -163,9 +170,15 @@ def build_phase_fns(
 
     if repel_kind == "bucket" and span_mode is not None:
 
+        _repulsion = (
+            cell_mod.cell_repulsion_forces
+            if isinstance(index, cell_mod.CellIndex)
+            else span_mod.span_repulsion_forces
+        )
+
         @jax.jit
         def repel_fn(positions, weights, inv_w, rep_key, structures):
-            return span_mod.span_repulsion_forces(
+            return _repulsion(
                 positions, inv_w, weights, dg.colors, index, opts,
                 interpret=(span_mode == "interpret"), structures=structures,
             )
@@ -253,10 +266,15 @@ def build_step(
     use_sampling = opts.num_negative_samples >= 0
     fused = resolve_fused(dg, opts, shard)
     fused_span = resolve_fused_span(dg, opts)
-    if not isinstance(index, span_mod.SpanIndex):
+    if not isinstance(index, (span_mod.SpanIndex, cell_mod.CellIndex)):
         # the caller built a jnp BucketIndex (or none) — the span kernel
         # needs its own skeleton, so fall back to the jnp bucket path
         fused_span = None
+    span_forces_fn = (
+        cell_mod.cell_fused_forces
+        if isinstance(index, cell_mod.CellIndex)
+        else span_mod.span_fused_forces
+    )
     dense_adj = None
     adj_bytes = None
     colors_pad = None
@@ -362,7 +380,7 @@ def build_step(
             # attraction and the neighbor correction together (separate
             # passes measured ~40ms/step slower than their parts)
             force, att_loss, rep_loss, rep_count, overflow, zero_count = (
-                span_mod.span_fused_forces(
+                span_forces_fn(
                     state.positions, inv_w, weights, dg.colors, index, opts,
                     att_key, interpret=(fused_span == "interpret"),
                     tables=tables, shard=shard,

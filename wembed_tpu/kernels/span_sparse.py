@@ -160,6 +160,75 @@ def _assemble_work_tiles(nb, b, blk_t, row_pad_off, pad_to=None, headroom=1.6):
 # ----------------------------------------------------------------- skeleton
 
 
+def _merge_weight_groups(weights: np.ndarray, opts):
+    """Merged doubling weight groups (the shared skeleton base of the
+    windowed SpanIndex and the cell-compact CellIndex): consecutive
+    doubling classes (WeightedIndex.cpp:51-63) greedily merged until a
+    group holds >= _GROUP_MIN members.  Returns (group_of (n,) i32,
+    group_sizes (B,) i64, bmaxpow (B,) f32 = groupmax^(1/d),
+    class_bm2 (n,) f32 = per-CLASS max^(2/d), B)."""
+    from ..core.candidates import doubling_weight_buckets
+
+    d = int(opts.embedding_dimension)
+    thresholds = doubling_weight_buckets(weights, opts.doubling_factor)
+    assignment = np.searchsorted(thresholds, weights, side="right")
+    class_max = np.concatenate([thresholds, [float(np.max(weights))]])
+    num_classes = thresholds.shape[0] + 1
+    class_sizes = np.bincount(assignment, minlength=num_classes)
+
+    class_group = np.zeros(num_classes, np.int32)
+    sizes, maxes = [], []
+    acc = 0
+    for c in range(num_classes):
+        if acc >= _GROUP_MIN and sizes:
+            sizes.append(0)
+            acc = 0
+        if not sizes:
+            sizes.append(0)
+        class_group[c] = len(sizes) - 1
+        sizes[-1] += int(class_sizes[c])
+        acc += int(class_sizes[c])
+        if len(maxes) < len(sizes):
+            maxes.append(0.0)
+        if class_sizes[c]:
+            maxes[-1] = float(class_max[c])
+        else:
+            maxes[-1] = max(maxes[-1], float(class_max[c]))
+    # drop empty groups (possible when trailing classes are empty)
+    keep = [i for i, s in enumerate(sizes) if s > 0]
+    remap = {old: new for new, old in enumerate(keep)}
+    group_sizes = np.asarray([sizes[i] for i in keep], np.int64)
+    bmaxpow = np.asarray([maxes[i] ** (1.0 / d) for i in keep], np.float32)
+    b = len(keep)
+    group_of = np.asarray(
+        [remap[class_group[c]] for c in assignment], np.int32
+    )
+    class_bm2 = (class_max[assignment] ** (2.0 / d)).astype(np.float32)
+    return group_of, group_sizes, bmaxpow, class_bm2, b
+
+
+def _edge_correction_tables(
+    n: int, edge_src: np.ndarray, edge_dst: np.ndarray, class_bm2: np.ndarray
+):
+    """Padded directed-edge tables for the O(E) neighbor correction —
+    shared by both span layouts.  Returns (esrc_p, edst_p, emask,
+    edge_bmaxpow, edge_row_ptr)."""
+    esrc = np.asarray(edge_src, np.int32)
+    edst = np.asarray(edge_dst, np.int32)
+    e = esrc.shape[0]
+    e_pad = max(512, _round_up(e, 512))
+    pad = e_pad - e
+    emask = np.concatenate([np.ones(e, bool), np.zeros(pad, bool)])
+    # padding src = n-1 keeps the directed array src-sorted (CSR order),
+    # so the correction's segment_sums may use indices_are_sorted; the
+    # padded rows contribute exact zeros (mask -> coeff 0)
+    esrc_p = np.concatenate([esrc, np.full(pad, n - 1, np.int32)])
+    edst_p = np.concatenate([edst, np.zeros(pad, np.int32)])
+    edge_bmaxpow = np.sqrt(class_bm2[edst_p]).astype(np.float32)
+    edge_row_ptr = np.searchsorted(esrc_p, np.arange(n + 1)).astype(np.int32)
+    return esrc_p, edst_p, emask, edge_bmaxpow, edge_row_ptr
+
+
 @dataclass(frozen=True)
 class SpanIndex:
     """Static skeleton of the fused span index (host-built once per
@@ -467,48 +536,12 @@ class SpanIndex:
         edge_dst: np.ndarray,
         span_scale: float = 1.0,
     ) -> "SpanIndex":
-        from ..core.candidates import doubling_weight_buckets
-
         n = int(weights.shape[0])
         d = int(opts.embedding_dimension)
         L = float(opts.edge_length)
-        thresholds = doubling_weight_buckets(weights, opts.doubling_factor)
-        assignment = np.searchsorted(thresholds, weights, side="right")
-        class_max = np.concatenate([thresholds, [float(np.max(weights))]])
-        num_classes = thresholds.shape[0] + 1
-        class_sizes = np.bincount(assignment, minlength=num_classes)
-
-        # ---- merge consecutive doubling classes into groups of >= _GROUP_MIN
-        class_group = np.zeros(num_classes, np.int32)
-        sizes, maxes = [], []
-        acc = 0
-        for c in range(num_classes):
-            if acc >= _GROUP_MIN and sizes:
-                sizes.append(0)
-                acc = 0
-            if not sizes:
-                sizes.append(0)
-            class_group[c] = len(sizes) - 1
-            sizes[-1] += int(class_sizes[c])
-            acc += int(class_sizes[c])
-            if len(maxes) < len(sizes):
-                maxes.append(0.0)
-            if class_sizes[c]:
-                maxes[-1] = float(class_max[c])
-            else:
-                maxes[-1] = max(maxes[-1], float(class_max[c]))
-        # drop empty groups (possible when trailing classes are empty)
-        keep = [i for i, s in enumerate(sizes) if s > 0]
-        remap = {old: new for new, old in enumerate(keep)}
-        group_sizes = np.asarray([sizes[i] for i in keep], np.int64)
-        bmaxpow = np.asarray(
-            [maxes[i] ** (1.0 / d) for i in keep], np.float32
+        group_of, group_sizes, bmaxpow, class_bm2, b = _merge_weight_groups(
+            weights, opts
         )
-        b = len(keep)
-        group_of = np.asarray(
-            [remap[class_group[c]] for c in assignment], np.int32
-        )
-        class_bm2 = (class_max[assignment] ** (2.0 / d)).astype(np.float32)
 
         # ---- split each group into equal-population ROWS (first-axis
         # rank bins).  Row population ~ sqrt(_Q * group_size) rounded to
@@ -570,18 +603,10 @@ class SpanIndex:
         # output needs d + 4 channels — both padded to a multiple of 8
         c = _round_up(max(d + 4, 8), 8)
 
-        # ---- directed-edge correction tables
-        esrc = np.asarray(edge_src, np.int32)
-        edst = np.asarray(edge_dst, np.int32)
-        e = esrc.shape[0]
-        e_pad = max(512, _round_up(e, 512))
-        pad = e_pad - e
-        emask = np.concatenate([np.ones(e, bool), np.zeros(pad, bool)])
-        # padding src = n-1 keeps the directed array src-sorted (CSR order),
-        # so the correction's segment_sums may use indices_are_sorted; the
-        # padded rows contribute exact zeros (mask -> coeff 0)
-        esrc_p = np.concatenate([esrc, np.full(pad, n - 1, np.int32)])
-        edst_p = np.concatenate([edst, np.zeros(pad, np.int32)])
+        # ---- directed-edge correction tables (shared helper)
+        esrc_p, edst_p, emask, edge_bmaxpow, edge_row_ptr = (
+            _edge_correction_tables(n, edge_src, edge_dst, class_bm2)
+        )
 
         row_of_sorted = np.repeat(
             np.arange(rr, dtype=np.int32), row_sizes
@@ -647,10 +672,8 @@ class SpanIndex:
             edge_mask=emask,
             # correction radius factor: per-CLASS max of the dst, matching
             # the kernel's count channel (reference WeightedIndex.cpp:65-81)
-            edge_bmaxpow=np.sqrt(class_bm2[edst_p]).astype(np.float32),
-            edge_row_ptr=np.searchsorted(esrc_p, np.arange(n + 1)).astype(
-                np.int32
-            ),
+            edge_bmaxpow=edge_bmaxpow,
+            edge_row_ptr=edge_row_ptr,
             span_scale=float(span_scale),
         )
 
@@ -1392,16 +1415,62 @@ def span_query(
     qblk, stile, first, grid_w = _shard_work_tiles(
         structures, idx, tables, shard
     )
+    w_real = jnp.sum(tables.blk_t, dtype=jnp.int32)  # real tiles, traced
+    if shard is not None:
+        axis_name, num_shards = shard
+        w_dev = -(-idx.w_pad // num_shards)
+        w_real = jnp.clip(
+            w_real - lax.axis_index(axis_name) * w_dev, 0, w_dev
+        )
+    return sweep_work_tiles(
+        structures.qdata,
+        structures.qcol,
+        structures.sdata,
+        structures.scol,
+        qblk,
+        stile,
+        first,
+        grid_w,
+        w_real,
+        idx.nb,
+        c,
+        d,
+        opts,
+        interpret,
+    )
+
+
+def sweep_work_tiles(
+    qdata,
+    qcol,
+    sdata,
+    scol,
+    qblk,
+    stile,
+    first,
+    grid_w: int,
+    w_real,
+    nb: int,
+    c: int,
+    d: int,
+    opts,
+    interpret: bool,
+):
+    """The pallas sweep over an explicit work-tile list — the shared core
+    of the windowed (``span_query``) and compacted (span_compact) paths.
+    ``qblk``/``stile``/``first`` may be traced values; ``grid_w`` is the
+    static list length and ``w_real`` the traced count of live tiles
+    (chunks past it never execute)."""
     kernel_args = dict(
         d=d,
         c=c,
-        nb=idx.nb,
+        nb=nb,
         L=float(opts.edge_length),
         rep_scale=float(opts.repulsion_scale),
         additive=bool(opts.additive_weights),
     )
     common_call = dict(
-        out_shape=jax.ShapeDtypeStruct((idx.nb + 1, _Q, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb + 1, _Q, c), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -1417,10 +1486,10 @@ def span_query(
 
     def masked(out, qblk_c):
         visited = (
-            jnp.zeros((idx.nb + 1,), bool)
+            jnp.zeros((nb + 1,), bool)
             .at[qblk_c]
             .set(True)
-            .at[idx.nb]
+            .at[nb]
             .set(False)
         )
         return jnp.where(visited[:, None, None], out, 0.0)
@@ -1466,10 +1535,10 @@ def span_query(
             qblk_c,
             stile_c,
             first_c,
-            structures.qdata,
-            structures.qcol,
-            structures.sdata,
-            structures.scol,
+            qdata,
+            qcol,
+            sdata,
+            scol,
         )
         return masked(out, qblk_c)
 
@@ -1513,16 +1582,18 @@ def span_query(
             **common_call,
         )(
             packed,
-            structures.qdata,
-            structures.qcol,
-            structures.sdata,
-            structures.scol,
+            qdata,
+            qcol,
+            sdata,
+            scol,
         )
         return masked(out, qblk_c)
 
     # packed layout fits when block and tile indices fit 15 bits
-    # (~8M vertices); nb is the dummy-block id, hence nb + 1 values
-    packable = (idx.nb + 1) < 2**15 and _cdiv(idx.npa, _ST) < 2**15
+    # (~8M vertices); nb is the dummy-block id, hence nb + 1 values.
+    # stile values are bounded by the span-side tile count == the sdata
+    # lane length / _ST for both the windowed and compacted layouts.
+    packable = (nb + 1) < 2**15 and _cdiv(sdata.shape[1], _ST) < 2**15
     call = one_call_packed if packable else one_call
     w_budget = _W_SMEM_PACKED if packable else _W_SMEM
 
@@ -1541,15 +1612,8 @@ def span_query(
     #     bucket costs nothing beyond its last real chunk
     n_chunks = _cdiv(grid_w, w_budget)
     pad = n_chunks * w_budget - grid_w
-    qblk_p = jnp.concatenate([qblk, jnp.full((pad,), idx.nb, jnp.int32)])
+    qblk_p = jnp.concatenate([qblk, jnp.full((pad,), nb, jnp.int32)])
     stile_p = jnp.concatenate([stile, jnp.zeros((pad,), jnp.int32)])
-    w_real = jnp.sum(tables.blk_t, dtype=jnp.int32)  # real tiles, traced
-    if shard is not None:
-        axis_name, num_shards = shard
-        w_dev = -(-idx.w_pad // num_shards)
-        w_real = jnp.clip(
-            w_real - lax.axis_index(axis_name) * w_dev, 0, w_dev
-        )
     trip = (w_real + w_budget - 1) // w_budget
 
     def body(ci, acc):
@@ -1567,7 +1631,7 @@ def span_query(
         0,
         trip,
         body,
-        jnp.zeros((idx.nb + 1, _Q, c), jnp.float32),
+        jnp.zeros((nb + 1, _Q, c), jnp.float32),
     )
 
 
