@@ -100,6 +100,15 @@ class EmbedderOptions:
     # never deflates; measured ~1.7x work-tile inflation at 1M vertices).
     # 0 disables the checks (single uninterrupted device loop).
     span_resize_interval: int = 50
+    # halo backend only: shard the sweep-RESIDENT span structures by
+    # query-block range (each device holds its 1/P qdata slice and a
+    # compact per-work-tile span buffer instead of replicated O(n*C)
+    # qdata/sdata — VERDICT r4 item 6).  The equal-block partition
+    # balances queries, not tiles; overflow of the per-device tile budget
+    # is surfaced through the overflow counter (never silent).  The sorts
+    # and the O(n*C) sorted-value BUILD TRANSIENT remain replicated — a
+    # distributed sample-sort is the documented follow-up.
+    halo_resident_structures: bool = False
     # debug mode, the analogue of the reference's EMBEDDING_USE_ASSERTIONS
     # toggle (Macros.hpp:7-11, CMakeLists.txt:65-68): enables
     # jax_debug_nans (jit raises where a NaN is produced) and validates

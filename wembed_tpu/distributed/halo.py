@@ -24,11 +24,18 @@ src/embeddingLib/src/embedder/NewWEmbedEmbedder.cpp:309):
     and the partial force field is reduced straight back to vertex shards
     with ``lax.psum_scatter`` — half the wire cost of a full all-reduce.
     The O(E) correction-edge tables are SHARDED by edge range
-    (``EdgeChunk``: O(E/P) live bytes per device), so per-device memory is
-    O(n·d transient + n scalars + E/P) — the remaining O(n) terms are the
-    transient gather and the sorted structures build (O(n·C)); making
-    those rank-range sharded (distributed sort + boundary-span exchange)
-    is the documented follow-up.
+    (``EdgeChunk``: O(E/P) live bytes per device).  With
+    ``opts.halo_resident_structures`` the sweep-RESIDENT sorted
+    structures are block-range sharded as well: each device holds its
+    1/P slice of the query blocks and a compact per-work-tile span
+    buffer (O(work/P)) instead of the replicated (NB+1, Q, C) qdata /
+    (C, NPA) sdata (span_sparse._resident_sweep; partition overflow of
+    the per-device tile budget is surfaced through the overflow
+    counter).  Per-device memory is then O(n·d transient + n scalars +
+    n·C build transient + work/P resident + E/P) — the remaining O(n)
+    terms are the replicated position gather/sorts and the sorted-value
+    build transient; a distributed sample-sort (rank-range ownership +
+    boundary-span exchange) is the documented follow-up.
   * Optimizer update, gravity recentring (mean via scalar psum), and the
     convergence metric run on local rows only.
 
@@ -316,6 +323,11 @@ def build_halo_step(
             # replicated gathered positions, then sweeps its chunk of the
             # work-tile list (span_sparse._shard_work_tiles); the O(E)
             # correction tables arrive pre-sharded (O(E/P) per device)
+            resident = (
+                -(-(index.nb + 1) // Pn)
+                if opts.halo_resident_structures
+                else None
+            )
             rep_force, rep_loss, rep_count, overflow, zero_n = (
                 span_mod.span_repulsion_forces(
                     pos_full.astype(jnp.float32),
@@ -328,6 +340,7 @@ def build_halo_step(
                     tables=tables,
                     shard=(axis_name, Pn),
                     edge_chunk=echunk,
+                    resident_blocks=resident,
                 )
             )
             rep_force = rep_force.astype(dtype)

@@ -874,6 +874,14 @@ class SpanStructures(NamedTuple):
     lwpow: jax.Array  # (n,) f32 — L * w^(1/d)
     overflow: jax.Array  # i32 scalar — candidates beyond the tile windows
     need: jax.Array  # (NB, R) i32 — window members needed per (block, row)
+    # RESIDENT mode (halo backend, opts.halo_resident_structures): the
+    # per-device kernel inputs shrink to this device's 1/P block range —
+    # qdata/qcol are (NB_dev+1, _Q, C) local slices (last local block =
+    # this device's own sentinel/dummy), and sdata/scol carry the
+    # UNGATHERED sorted value matrix (n+1, C) / (1, n+1) from which
+    # span_query assembles a per-work-tile compact buffer
+    # (C, W_dev*_ST).  resident_b0 is this device's global block offset.
+    resident_b0: jax.Array | None = None
 
 
 def build_span_structures(
@@ -885,6 +893,7 @@ def build_span_structures(
     opts,
     tables: "SpanTables | None" = None,
     shard: tuple[str, int] | None = None,
+    resident_blocks: int | None = None,
 ) -> SpanStructures:
     """Two-level sort: bin every group's members into equal-population
     rows by FIRST-principal-axis rank, sort each row by the SECOND axis;
@@ -996,10 +1005,18 @@ def build_span_structures(
         axis=1,
     )
     svals_ext = jnp.concatenate([svals, jnp.asarray(sent_s)], axis=0)
-    src_pad = jnp.asarray(src_of_pad)
-    sdata = sharded_rows(lambda o: svals_ext[src_pad[o]], npa).T  # (C, NPA)
     col_ext = jnp.concatenate([col_s, jnp.asarray([-3], jnp.int32)])
-    scol = sharded_rows(lambda o: col_ext[src_pad[o]], npa)[None, :]
+    if resident_blocks is None:
+        src_pad = jnp.asarray(src_of_pad)
+        sdata = sharded_rows(lambda o: svals_ext[src_pad[o]], npa).T
+        scol = sharded_rows(lambda o: col_ext[src_pad[o]], npa)[None, :]
+    else:
+        # RESIDENT mode: no global padded span layout — span_query
+        # gathers each device's compact (C, W_dev*_ST) buffer from the
+        # raw sorted values (the O(n*C) matrix stays a build transient;
+        # the sweep-resident buffers are O(work/P))
+        sdata = svals_ext
+        scol = col_ext[None, :]
 
     # ---- query-side blocks (NB, _Q, C): [pos(d), invw, (L*w^(1/d))^2, rawexp]
     sent_q = np.zeros((1, c), np.float32)
@@ -1017,9 +1034,29 @@ def build_span_structures(
     )
     qvals_ext = jnp.concatenate([qvals, jnp.asarray(sent_q)], axis=0)
     src_q = jnp.asarray(src_of_q)
-    qdata = sharded_rows(
-        lambda o: qvals_ext[src_q[o]], nq
-    ).reshape(nb + 1, _Q, c)
+    if resident_blocks is None:
+        qdata = sharded_rows(
+            lambda o: qvals_ext[src_q[o]], nq
+        ).reshape(nb + 1, _Q, c)
+        resident_b0 = None
+    else:
+        # RESIDENT mode: this device's contiguous block range only, plus
+        # one local sentinel/dummy block for skipped tiles
+        assert shard is not None
+        axis_name, num_shards = shard
+        nb_dev = resident_blocks
+        resident_b0 = lax.axis_index(axis_name) * nb_dev
+        offs = resident_b0 * _Q + jnp.arange(nb_dev * _Q, dtype=jnp.int32)
+        in_nq = offs < nq
+        rows = qvals_ext[
+            jnp.where(in_nq, src_q[jnp.minimum(offs, nq - 1)], n)
+        ]
+        sentinel_blk = jnp.broadcast_to(
+            jnp.asarray(sent_q, jnp.float32), (_Q, c)
+        )
+        qdata = jnp.concatenate([rows, sentinel_blk], axis=0).reshape(
+            nb_dev + 1, _Q, c
+        )
     # auxiliary per-slot channels in ONE packed gather (TPU gathers are
     # row-latency-bound — four separate NQ-row gathers cost ~4x one):
     # [color, vertex id, L*w^(1/d), first-axis y]; the integer channels
@@ -1041,9 +1078,20 @@ def build_span_structures(
         axis=1,
     )  # (n+1, 4)
     aux_q = sharded_rows(lambda o: aux[src_q[o]], nq)
-    qcol = lax.bitcast_convert_type(aux_q[:, 0], jnp.int32).reshape(
-        nb + 1, _Q, 1
-    )
+    qcol_full = lax.bitcast_convert_type(aux_q[:, 0], jnp.int32)
+    if resident_blocks is None:
+        qcol = qcol_full.reshape(nb + 1, _Q, 1)
+    else:
+        local = lax.dynamic_slice_in_dim(
+            jnp.concatenate(
+                [qcol_full, jnp.full((resident_blocks * _Q,), -2, jnp.int32)]
+            ),
+            resident_b0 * _Q,
+            resident_blocks * _Q,
+        )
+        qcol = jnp.concatenate(
+            [local, jnp.full((_Q,), -2, jnp.int32)]
+        ).reshape(resident_blocks + 1, _Q, 1)
     q_ids = lax.bitcast_convert_type(aux_q[:, 1], jnp.int32)
 
     # ---- per-block conservative windows in BOTH axes -> dynamic start
@@ -1200,6 +1248,7 @@ def build_span_structures(
         need=jnp.where(
             stop > start, stop - (start // _ST) * _ST, 0
         ),  # aligned (see measure_needs_host)
+        resident_b0=resident_b0,
     )
 
 
@@ -1394,6 +1443,98 @@ def _span_kernel_packed(
             rep_scale=rep_scale,
             additive=additive,
         )
+
+
+def _resident_sweep(
+    structures: SpanStructures,
+    idx: SpanIndex,
+    opts,
+    tables: SpanTables,
+    interpret: bool,
+    shard: tuple[str, int],
+    nb_dev: int,
+):
+    """RESIDENT-mode sweep (halo backend): this device owns the
+    contiguous global block range [b0, b0 + nb_dev) and sweeps exactly
+    those blocks' work tiles from a per-work-tile COMPACT span buffer
+    (C, W_dev*_ST) gathered out of the raw sorted values — per-device
+    sweep-resident bytes are O(n*C/P + work/P) instead of the replicated
+    O(n*C).  Returns (out (nb_dev+1, _Q, C) local accumulators,
+    partition_overflow): tiles beyond the static per-device budget
+    W_dev = ceil(W_pad/P) are counted (in members) into the overflow
+    channel — the growth protocol's bucket resize raises the budget.
+
+    Trade-offs vs the replicated sweep (documented, not hidden): the
+    equal-BLOCK partition balances queries, not tiles, so skewed window
+    distributions can overflow the budget (surfaced, never silent); the
+    compact gather re-pays ~W_dev*_ST row-latency per step; the sorts
+    and the O(n*C) sorted-value matrix remain replicated build
+    transients (a distributed sample-sort is the remaining follow-up)."""
+    axis_name, num_shards = shard
+    c, d = idx.num_channels, idx.d
+    nb = idx.nb
+    b0 = structures.resident_b0
+    w_dev = _cdiv(idx.w_pad, num_shards)
+
+    # this device's tile range: tiles are block-major, so the range is
+    # the [T(b0), T(b1)) slice of the REAL (non-padding) tile list
+    tb = jnp.sum(tables.blk_t, axis=1)  # (NB,) tiles per block
+    ct = jnp.cumsum(tb)  # inclusive
+    total = ct[nb - 1]
+    t_at = lambda b: jnp.where(
+        b > 0, ct[jnp.clip(b - 1, 0, nb - 1)], 0
+    )  # exclusive cumsum with clamp
+    t0 = jnp.where(b0 < nb, t_at(b0), total)
+    b1 = jnp.minimum(b0 + nb_dev, nb)
+    t1 = jnp.where(b1 < nb, t_at(b1), total)
+    part_ovf = jnp.maximum(t1 - t0 - w_dev, 0) * _ST
+
+    offs = t0 + jnp.arange(w_dev, dtype=jnp.int32)
+    in_range = offs < t1
+    cl = jnp.minimum(offs, idx.w_pad - 1)
+    qblk_g = tables.wt_qblk[cl]
+    qblk = jnp.where(
+        in_range & (qblk_g < nb), qblk_g - b0, nb_dev
+    ).astype(jnp.int32)
+    stile_g = jnp.where(in_range, structures.stile[cl], 0)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qblk[:-1]])
+    first = (qblk != prev).astype(jnp.int32)
+    w_real = jnp.clip(t1 - t0, 0, w_dev)
+
+    # compact span buffer: slot (t, k) reads padded-layout position
+    # stile_g[t]*_ST + k through the static src_of_pad map into the raw
+    # sorted values (svals_ext rides in structures.sdata in this mode)
+    pad_idx = (
+        stile_g[:, None] * _ST + jnp.arange(_ST, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    pad_idx = jnp.where(
+        jnp.repeat(in_range, _ST, total_repeat_length=w_dev * _ST),
+        pad_idx,
+        idx.npa - 1,
+    )
+    src = jnp.asarray(idx.src_of_pad)[jnp.clip(pad_idx, 0, idx.npa - 1)]
+    svals_ext = structures.sdata  # (n+1, C) raw sorted values
+    col_ext = structures.scol[0]  # (n+1,)
+    sdata_c = svals_ext[src].T  # (C, W_dev*_ST)
+    scol_c = col_ext[src][None, :]
+
+    out = sweep_work_tiles(
+        structures.qdata,
+        structures.qcol,
+        sdata_c,
+        scol_c,
+        qblk,
+        jnp.arange(w_dev, dtype=jnp.int32),  # compact tile t IS span tile t
+        first,
+        w_dev,
+        w_real,
+        nb_dev,
+        c,
+        d,
+        opts,
+        interpret,
+    )
+    return out, part_ovf
 
 
 def span_query(
@@ -1789,16 +1930,41 @@ def _edge_inclusion(
 # ------------------------------------------------------------ full wrapper
 
 
-def _kernel_accumulate(structures, idx, opts, tables, interpret, shard=None):
+def _kernel_accumulate(
+    structures, idx, opts, tables, interpret, shard=None,
+    resident_blocks=None,
+):
     """Run the pallas sweep and unsort its per-query accumulators:
-    (force (n,d) f32, repel_loss, candidate count, zero_count (n,)).
-    With ``shard`` every return value is this device's PARTIAL (the
-    caller psums across the mesh)."""
+    (force (n,d) f32, repel_loss, candidate count, zero_count (n,),
+    extra_overflow).  With ``shard`` every return value is this device's
+    PARTIAL (the caller psums across the mesh); ``extra_overflow`` is the
+    resident-mode partition overflow (0 otherwise)."""
     d = idx.d
     n = idx.n
     f32 = jnp.float32
     if tables is None:
         tables = idx.device_tables()
+    c = idx.num_channels
+    zero_i32 = jnp.asarray(0, jnp.int32)
+    if resident_blocks is not None:
+        nb_dev = resident_blocks
+        out, part_ovf = _resident_sweep(
+            structures, idx, opts, tables, interpret, shard, nb_dev
+        )
+        nq_loc = (nb_dev + 1) * _Q
+        flat = out.reshape(nq_loc, c)
+        qpos = structures.qdata.reshape(nq_loc, c)[:, :d]
+        force_q = qpos * flat[:, d : d + 1] - flat[:, :d]
+        # each vertex's query slot lives on exactly ONE device: local
+        # gather with a validity mask; the caller's psum merges shards
+        local_slot = structures.slot_of - structures.resident_b0 * _Q
+        valid = (local_slot >= 0) & (local_slot < nb_dev * _Q)
+        cl = jnp.clip(local_slot, 0, nq_loc - 1)
+        force = jnp.where(valid[:, None], force_q[cl], 0.0).astype(f32)
+        loss = jnp.sum(flat[:, d + 1], dtype=f32)
+        count = jnp.sum(flat[:, d + 2].astype(jnp.int32), dtype=jnp.int32)
+        zero_count = jnp.where(valid, flat[cl, d + 3], 0.0).astype(jnp.int32)
+        return force, loss, count, zero_count, part_ovf
     # span_query zeroes the rows of blocks the sweep never visited (every
     # window shrunk to 0, the dummy padding block, or — under sharding —
     # blocks owned by other devices' chunks), so the reshape below reads
@@ -1806,7 +1972,6 @@ def _kernel_accumulate(structures, idx, opts, tables, interpret, shard=None):
     out = span_query(
         structures, idx, opts, tables=tables, interpret=interpret, shard=shard
     )
-    c = idx.num_channels
     flat = out.reshape(idx.nq, c)
     qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
     force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
@@ -1821,7 +1986,7 @@ def _kernel_accumulate(structures, idx, opts, tables, interpret, shard=None):
     # candidates (int32 ceiling ~2.1e9 documented; forces are unaffected)
     count = jnp.sum(flat[:, d + 2].astype(jnp.int32), dtype=jnp.int32)
     zero_count = flat[slot_of, d + 3].astype(jnp.int32)
-    return force, loss, count, zero_count
+    return force, loss, count, zero_count, zero_i32
 
 
 def span_fused_forces(
@@ -1836,6 +2001,7 @@ def span_fused_forces(
     structures: SpanStructures | None = None,
     tables: "SpanTables | None" = None,
     shard: tuple[str, int] | None = None,
+    resident_blocks: int | None = None,
 ):
     """Kernel repulsion + ONE merged edge pass doing attraction AND the
     neighbor-repulsion correction.
@@ -1871,13 +2037,15 @@ def span_fused_forces(
     if structures is None:
         structures = build_span_structures(
             positions, inv_w, weights, colors, idx, opts, tables=tables,
-            shard=shard,
+            shard=shard, resident_blocks=resident_blocks,
         )
-    force_k, rep_loss, rep_count, zero_count = _kernel_accumulate(
-        structures, idx, opts, tables, interpret, shard=shard
+    force_k, rep_loss, rep_count, zero_count, part_ovf = _kernel_accumulate(
+        structures, idx, opts, tables, interpret, shard=shard,
+        resident_blocks=resident_blocks,
     )
 
     es = _slice_edge_tables(idx, structures, shard)
+    es = es._replace(overflow=es.overflow + part_ovf)
     kick_shape = int(idx.edge_src.shape[0])
     row_ptr = jnp.asarray(idx.edge_row_ptr)
 
@@ -1965,6 +2133,7 @@ def span_repulsion_forces(
     tables: "SpanTables | None" = None,
     shard: tuple[str, int] | None = None,
     edge_chunk: "EdgeChunk | None" = None,
+    resident_blocks: int | None = None,
 ):
     """Sparse repulsion via the fused span kernel + O(E) edge correction.
 
@@ -1997,10 +2166,11 @@ def span_repulsion_forces(
     if structures is None:
         structures = build_span_structures(
             positions, inv_w, weights, colors, idx, opts, tables=tables,
-            shard=shard,
+            shard=shard, resident_blocks=resident_blocks,
         )
-    force, loss, count, zero_count = _kernel_accumulate(
-        structures, idx, opts, tables, interpret, shard=shard
+    force, loss, count, zero_count, part_ovf = _kernel_accumulate(
+        structures, idx, opts, tables, interpret, shard=shard,
+        resident_blocks=resident_blocks,
     )
 
     # ---- O(E) neighbor correction (reference filters candidates by
@@ -2009,6 +2179,7 @@ def span_repulsion_forces(
     # removed in the kernel's own algebraic form (q*rowsum_corr -
     # acc_corr).
     es = _slice_edge_tables(idx, structures, shard, edge_chunk)
+    es = es._replace(overflow=es.overflow + part_ovf)
     row_ptr = jnp.asarray(idx.edge_row_ptr)
 
     psrc, pdst, iw_src, iw_dst, lwpow_src, block_src, rank_dst, row_dst, colneq = (
