@@ -766,8 +766,8 @@ def test_cell_host_needs_mirror_matches_device():
 
 
 def test_cell_embedder_end_to_end_d3():
-    """span_layout='auto' picks the cell-compact index at d >= 3; the
-    embedder converges through the shared growth protocol."""
+    """span_layout='cells' drives the cell-compact index end to end
+    through the shared growth protocol."""
     from wembed_tpu.core.options import RepulsionMode
     from wembed_tpu.kernels import span_compact as cc
 
@@ -779,6 +779,7 @@ def test_cell_embedder_end_to_end_d3():
         dtype="float32",
         repulsion_mode=RepulsionMode.BUCKET,
         fused_span="interpret",
+        span_layout="cells",
         max_iterations=30,
     )
     set_seed(9)

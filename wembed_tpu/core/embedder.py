@@ -141,13 +141,11 @@ class WEmbedEmbedder(SpanGrowthMixin):
         mode = self.opts.resolve_repulsion_mode(self.graph.num_vertices)
         if self.opts.num_negative_samples < 0 and mode is RepulsionMode.BUCKET:
             if step_mod.resolve_fused_span(self._dg, self.opts) is not None:
-                # fused Pallas span path: the cell-compact layout for
-                # d >= 3 (three-level pruning + per-block compaction,
-                # kernels/span_compact.py), the windowed layout otherwise
-                layout = self.opts.span_layout
-                use_cells = layout == "cells" or (
-                    layout == "auto" and self.opts.embedding_dimension >= 3
-                )
+                # fused Pallas span path: the windowed layout by
+                # default (auto — see options.span_layout for the d4
+                # hardware comparison), the cell-compact layout
+                # (kernels/span_compact.py) on request
+                use_cells = self.opts.span_layout == "cells"
                 index_cls = (
                     cell_mod.CellIndex if use_cells else span_mod.SpanIndex
                 )

@@ -85,14 +85,18 @@ class EmbedderOptions:
     # "on"/"off" force it, "interpret" runs it in interpreter mode
     fused_span: str = "auto"
     # span-kernel candidate layout: "windows" = per-(query block, target
-    # row) tile windows on the second principal axis (the proven d<=2
-    # layout), "cells" = three-level binning (rows x cells on the first
-    # two axes, windows on the THIRD) with per-query-block COMPACTION of
-    # window members into dense tiles (kernels/span_compact.py) — prunes
-    # one more axis AND removes the >=1-tile-per-window quantization
-    # floor that capped d>=3 sweep occupancy at ~0.1%.  "auto" = cells
-    # for d >= 3 on the single-chip path, windows otherwise (the
-    # distributed backends always use windows).
+    # row) tile windows on the second principal axis, "cells" =
+    # three-level binning (rows x cells on the first two axes, windows on
+    # the THIRD) with per-query-block COMPACTION of window members into
+    # dense tiles (kernels/span_compact.py).  "auto" currently resolves
+    # to windows everywhere: on girg100k d=4 hardware the two layouts
+    # measured at parity (cells 29-33K tiles / 0.16 s-step vs windows
+    # 35K / 0.12 s) — at this scale the conservative-reach geometry, not
+    # per-window quantization, bounds the swept volume (decomposition in
+    # baselines/tpu_measured.json girg100k_d4), and the d4 step is not
+    # sweep-bound.  The cell layout remains selectable ("cells") and
+    # fully tested; it is expected to win where window-count quantization
+    # dominates (deeper bulges, larger n at d >= 3).
     span_layout: str = "auto"
     # segment the device-side embedding loop every this many iterations to
     # let the host SHRINK over-provisioned span windows (the mid-run

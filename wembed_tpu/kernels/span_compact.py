@@ -59,7 +59,9 @@ from typing import NamedTuple
 from . import span_sparse as sp
 from .span_sparse import _Q, _ST, _bucket_size, _cdiv, _round_up
 
-_CELL_MIN = 2048  # groups below this stay a single row/cell
+_CELL_MIN = 512  # groups below this stay a single row/cell (merged
+# groups are >= span_sparse._GROUP_MIN = 2048 in practice, so every
+# group gets split; the floor only guards degenerate tiny graphs)
 
 
 def _level_populations(sz: int) -> tuple[int, int]:
@@ -581,9 +583,11 @@ def build_cell_structures(
         axis=1,
     )
     svals_ext = jnp.concatenate([svals, jnp.asarray(sent_s)], axis=0)
-    gathered = svals_ext[compact_src]  # (NCA, C+1)
-    sdata = gathered[:, :c].T
-    scol = lax.bitcast_convert_type(gathered[:, c], jnp.int32)[None, :]
+    # chunked transposed gather: a direct (NCA, C+1) row gather pads the
+    # channel minor dim to 128 lanes (16 GB at the d4 full-run presize)
+    gathered_t = sp.gather_rows_transposed(svals_ext, compact_src)
+    sdata = gathered_t[:c]
+    scol = lax.bitcast_convert_type(gathered_t[c], jnp.int32)[None, :]
 
     # ---- in-trace work list: block of tile j by piecewise fill; tiles
     # past a block's kept data (or past the total capacity) become the

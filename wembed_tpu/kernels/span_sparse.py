@@ -678,6 +678,36 @@ class SpanIndex:
         )
 
 
+def gather_rows_transposed(values, indices, chunk: int = 1 << 19):
+    """``values[indices].T`` without the padded-intermediate blowup.
+
+    A direct row gather materializes (M, C) with XLA's (8, 128) tiling —
+    the C-channel minor dim pads to 128 lanes, a 14-16x memory expansion
+    that OOM'd the d4 full run at M = 33M (16 GB for 1.1 GB of data).
+    Gathering in bounded chunks and writing each chunk TRANSPOSED into
+    the (C, M) output caps the padded transient at chunk x 128 lanes
+    (~256 MB at the default chunk) while the output stays unpadded
+    (minor dim M)."""
+    m = indices.shape[0]
+    c = values.shape[1]
+    if m <= chunk:
+        return values[indices].T
+    nch = _cdiv(m, chunk)
+    pad = nch * chunk - m
+    idx_p = jnp.concatenate(
+        [indices, jnp.full((pad,), values.shape[0] - 1, indices.dtype)]
+    )
+
+    def body(i, out):
+        rows = values[lax.dynamic_slice_in_dim(idx_p, i * chunk, chunk)]
+        return lax.dynamic_update_slice(out, rows.T, (0, i * chunk))
+
+    out = lax.fori_loop(
+        0, nch, body, jnp.zeros((c, nch * chunk), values.dtype)
+    )
+    return out[:, :m]
+
+
 def _host_axes2(positions: np.ndarray, d: int):
     """Numpy f32 mirror of candidates._principal_axes2 — the host MUST
     track the device's axes as closely as possible: with near-equal top
@@ -1515,7 +1545,7 @@ def _resident_sweep(
     src = jnp.asarray(idx.src_of_pad)[jnp.clip(pad_idx, 0, idx.npa - 1)]
     svals_ext = structures.sdata  # (n+1, C) raw sorted values
     col_ext = structures.scol[0]  # (n+1,)
-    sdata_c = svals_ext[src].T  # (C, W_dev*_ST)
+    sdata_c = gather_rows_transposed(svals_ext, src)  # (C, W_dev*_ST)
     scol_c = col_ext[src][None, :]
 
     out = sweep_work_tiles(
