@@ -57,6 +57,11 @@ class Options:
     useUnitWeights: bool = False
     dimensionHint: float = -1.0
     layeredEmbedding: bool = False
+    # layered child placement: "sphere" (default; fixes the reference's
+    # sibling-radius-0 expansion, measured 2x its reconstruction MAP) or
+    # "reference" for bug-for-bug parity (no reference counterpart knob:
+    # the reference hardcodes the buggy behavior)
+    expansionMode: str = "sphere"
 
     indexType: int = IndexSprk
     attractionScale: float = 1.0
@@ -247,13 +252,29 @@ def createEmbedder(graph: Graph, options: Options) -> Embedder:
             )
             return Embedder(
                 LayeredEmbedder(
-                    graph.csr, opts, verbose=False, embedder_factory=factory
+                    graph.csr, opts, verbose=False, embedder_factory=factory,
+                    expansion_mode=_expansion_mode(options),
                 )
             )
         return Embedder(DistEmbedder(graph.csr, opts, mesh=mesh, verbose=False))
     if options.layeredEmbedding:
-        return Embedder(LayeredEmbedder(graph.csr, opts, verbose=False))
+        return Embedder(
+            LayeredEmbedder(
+                graph.csr, opts, verbose=False,
+                expansion_mode=_expansion_mode(options),
+            )
+        )
     return Embedder(WEmbedEmbedder(graph.csr, opts, verbose=False))
+
+
+def _expansion_mode(options: Options):
+    from .multilevel.hierarchy import ExpansionMode
+
+    return (
+        ExpansionMode.REFERENCE
+        if options.expansionMode == "reference"
+        else ExpansionMode.SIBLING_SPHERE
+    )
 
 
 def _distributed_layer_factory(dist_cls, mesh, min_layer_size: int):

