@@ -1064,10 +1064,32 @@ def build_span_structures(
     )
     qvals_ext = jnp.concatenate([qvals, jnp.asarray(sent_q)], axis=0)
     src_q = jnp.asarray(src_of_q)
+    # auxiliary per-slot channels [color, vertex id, L*w^(1/d), first-axis
+    # y], integer channels as BITCAST f32 (exact transport) — built here
+    # so the replicated path can fuse them into ONE packed gather with
+    # qdata below (TPU gathers are row-latency-bound: two separate NQ-row
+    # gathers cost 2x one regardless of row width)
+    aux = jnp.stack(
+        [
+            lax.bitcast_convert_type(
+                jnp.concatenate([col_s, jnp.asarray([-2], jnp.int32)]), f32
+            ),
+            lax.bitcast_convert_type(
+                jnp.concatenate(
+                    [order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
+                ),
+                f32,
+            ),
+            jnp.concatenate([lwpow_s, jnp.zeros((1,), f32)]),
+            jnp.concatenate([y_ord, jnp.zeros((1,), f32)]),
+        ],
+        axis=1,
+    )  # (n+1, 4)
     if resident_blocks is None:
-        qdata = sharded_rows(
-            lambda o: qvals_ext[src_q[o]], nq
-        ).reshape(nb + 1, _Q, c)
+        qa_ext = jnp.concatenate([qvals_ext, aux], axis=1)  # (n+1, c+4)
+        packed_q = sharded_rows(lambda o: qa_ext[src_q[o]], nq)
+        qdata = packed_q[:, :c].reshape(nb + 1, _Q, c)
+        aux_q = packed_q[:, c:]
         resident_b0 = None
     else:
         # RESIDENT mode: this device's contiguous block range only, plus
@@ -1087,27 +1109,10 @@ def build_span_structures(
         qdata = jnp.concatenate([rows, sentinel_blk], axis=0).reshape(
             nb_dev + 1, _Q, c
         )
-    # auxiliary per-slot channels in ONE packed gather (TPU gathers are
-    # row-latency-bound — four separate NQ-row gathers cost ~4x one):
-    # [color, vertex id, L*w^(1/d), first-axis y]; the integer channels
-    # ride as BITCAST f32 (pure transport, exact for any int32)
-    aux = jnp.stack(
-        [
-            lax.bitcast_convert_type(
-                jnp.concatenate([col_s, jnp.asarray([-2], jnp.int32)]), f32
-            ),
-            lax.bitcast_convert_type(
-                jnp.concatenate(
-                    [order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
-                ),
-                f32,
-            ),
-            jnp.concatenate([lwpow_s, jnp.zeros((1,), f32)]),
-            jnp.concatenate([y_ord, jnp.zeros((1,), f32)]),
-        ],
-        axis=1,
-    )  # (n+1, 4)
-    aux_q = sharded_rows(lambda o: aux[src_q[o]], nq)
+    if resident_blocks is not None:
+        # resident mode keeps aux global (window bounds need every
+        # block's extrema) while qdata stayed a local slice above
+        aux_q = sharded_rows(lambda o: aux[src_q[o]], nq)
     qcol_full = lax.bitcast_convert_type(aux_q[:, 0], jnp.int32)
     if resident_blocks is None:
         qcol = qcol_full.reshape(nb + 1, _Q, 1)
