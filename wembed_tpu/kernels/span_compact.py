@@ -803,10 +803,12 @@ def _cell_accumulate(structures: CellStructures, idx: CellIndex, opts,
     qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
     force_q = qpos * flat[:, d : d + 1] - flat[:, :d]
     slot_of = structures.slot_of
-    force = force_q[slot_of].astype(f32)
+    # one packed unsort gather (row-latency-bound, like span_sparse)
+    fz = jnp.concatenate([force_q, flat[:, d + 3 : d + 4]], axis=1)[slot_of]
+    force = fz[:, :d].astype(f32)
     loss = jnp.sum(flat[:, d + 1], dtype=f32)
     count = jnp.sum(flat[:, d + 2].astype(jnp.int32), dtype=jnp.int32)
-    zero_count = flat[slot_of, d + 3].astype(jnp.int32)
+    zero_count = fz[:, d].astype(jnp.int32)
     return force, loss, count, zero_count
 
 

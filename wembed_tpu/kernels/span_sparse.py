@@ -1037,9 +1037,17 @@ def build_span_structures(
     svals_ext = jnp.concatenate([svals, jnp.asarray(sent_s)], axis=0)
     col_ext = jnp.concatenate([col_s, jnp.asarray([-3], jnp.int32)])
     if resident_blocks is None:
+        # color rides the value gather as a bitcast channel: NPA-row
+        # gathers are latency-bound, so a separate scol gather doubled
+        # this phase's cost for 4 bytes/row
         src_pad = jnp.asarray(src_of_pad)
-        sdata = sharded_rows(lambda o: svals_ext[src_pad[o]], npa).T
-        scol = sharded_rows(lambda o: col_ext[src_pad[o]], npa)[None, :]
+        sc_ext = jnp.concatenate(
+            [svals_ext, lax.bitcast_convert_type(col_ext, f32)[:, None]],
+            axis=1,
+        )
+        packed_s = sharded_rows(lambda o: sc_ext[src_pad[o]], npa)
+        sdata = packed_s[:, :c].T
+        scol = lax.bitcast_convert_type(packed_s[:, c], jnp.int32)[None, :]
     else:
         # RESIDENT mode: no global padded span layout — span_query
         # gathers each device's compact (C, W_dev*_ST) buffer from the
@@ -1995,10 +2003,13 @@ def _kernel_accumulate(
         local_slot = structures.slot_of - structures.resident_b0 * _Q
         valid = (local_slot >= 0) & (local_slot < nb_dev * _Q)
         cl = jnp.clip(local_slot, 0, nq_loc - 1)
-        force = jnp.where(valid[:, None], force_q[cl], 0.0).astype(f32)
+        fz = jnp.concatenate(
+            [force_q, flat[:, d + 3 : d + 4]], axis=1
+        )[cl]  # one packed gather (row latency, see below)
+        force = jnp.where(valid[:, None], fz[:, :d], 0.0).astype(f32)
         loss = jnp.sum(flat[:, d + 1], dtype=f32)
         count = jnp.sum(flat[:, d + 2].astype(jnp.int32), dtype=jnp.int32)
-        zero_count = jnp.where(valid, flat[cl, d + 3], 0.0).astype(jnp.int32)
+        zero_count = jnp.where(valid, fz[:, d], 0.0).astype(jnp.int32)
         return force, loss, count, zero_count, part_ovf
     # span_query zeroes the rows of blocks the sweep never visited (every
     # window shrunk to 0, the dummy padding block, or — under sharding —
@@ -2010,17 +2021,19 @@ def _kernel_accumulate(
     flat = out.reshape(idx.nq, c)
     qpos = structures.qdata.reshape(idx.nq, c)[:, :d]
     force_q = qpos * flat[:, d : d + 1] - flat[:, :d]  # q*rowsum - acc
-    # unsort by GATHER through the inverse slot map (each vertex occupies
-    # exactly one query slot) — an (NQ, d) scatter-add here cost ~100ms
-    # at million-vertex scale (XLA-TPU scatter serializes per row)
+    # unsort by ONE packed GATHER through the inverse slot map (each
+    # vertex occupies exactly one query slot) — an (NQ, d) scatter-add
+    # here cost ~100ms at million-vertex scale, and a separate
+    # zero-count gather re-paid the same row latency
     slot_of = structures.slot_of
-    force = force_q[slot_of].astype(f32)
+    fz = jnp.concatenate([force_q, flat[:, d + 3 : d + 4]], axis=1)[slot_of]
+    force = fz[:, :d].astype(f32)
     loss = jnp.sum(flat[:, d + 1], dtype=f32)
     # each per-slot count is an exactly-representable small float; round to
     # integer BEFORE summing so the reduction is exact past 2^24 total
     # candidates (int32 ceiling ~2.1e9 documented; forces are unaffected)
     count = jnp.sum(flat[:, d + 2].astype(jnp.int32), dtype=jnp.int32)
-    zero_count = flat[slot_of, d + 3].astype(jnp.int32)
+    zero_count = fz[:, d].astype(jnp.int32)
     return force, loss, count, zero_count, zero_i32
 
 
