@@ -991,14 +991,33 @@ def build_span_structures(
     row_static = jnp.asarray(idx.row_of_sorted)
     order = order1[jnp.lexsort((x_s1, row_static))]
 
-    pos_s = positions[order]  # (n, d)
-    invw_s = inv_w.astype(f32)[order]
     lwpow = (L * jnp.power(weights.astype(f32), f32(1.0 / d))).astype(f32)
-    lwpow_s = lwpow[order]
-    col_s = colors[order].astype(jnp.int32)
-    x_s = x[order]
-    y_ord = y[order]
-    y_s1 = y[order1]
+    # ONE packed gather for every per-vertex channel the build reads in
+    # sorted order (TPU gathers are row-LATENCY-bound: eight separate
+    # n-row gathers cost ~8x one wide gather regardless of row width);
+    # integer channels ride as exact f32 bitcasts
+    vmat = jnp.concatenate(
+        [
+            positions,  # [:d]
+            inv_w.astype(f32)[:, None],  # d
+            lwpow[:, None],  # d+1
+            lax.bitcast_convert_type(colors.astype(jnp.int32), f32)[
+                :, None
+            ],  # d+2
+            x[:, None],  # d+3
+            y[:, None],  # d+4
+            jnp.asarray(idx.class_bm2)[:, None],  # d+5
+        ],
+        axis=1,
+    )
+    vs = vmat[order]
+    pos_s = vs[:, :d]
+    invw_s = vs[:, d]
+    lwpow_s = vs[:, d + 1]
+    col_s = lax.bitcast_convert_type(vs[:, d + 2], jnp.int32)
+    x_s = vs[:, d + 3]
+    y_ord = vs[:, d + 4]
+    bm2_s = vs[:, d + 5]
 
     j = jnp.arange(n, dtype=jnp.int32)
     q_idx = j + jnp.asarray(idx.sorted_shift_q)
@@ -1027,7 +1046,7 @@ def build_span_structures(
         [
             pos_s,
             invw_s[:, None],
-            jnp.asarray(idx.class_bm2)[order][:, None],
+            bm2_s[:, None],
             jnp.ones((n, 1), f32),
             (1.0 / invw_s)[:, None],
             jnp.zeros((n, c - (d + 4)), f32),
@@ -1152,10 +1171,13 @@ def build_span_structures(
     ymin_blk = jnp.min(jnp.where(qmask, y_q, big), axis=1)
     ymax_blk = jnp.max(jnp.where(qmask, y_q, -big), axis=1)
 
-    row_ymin = y_s1[jnp.asarray(idx.row_moff.astype(np.int64))]
-    row_ymax = y_s1[
-        jnp.asarray((idx.row_moff + idx.row_sizes - 1).astype(np.int64))
-    ]
+    # row first-axis extrema sit at STATIC rank boundaries of the
+    # y-sorted order: compose the tiny (R,) gathers through order1
+    # instead of materializing the full y[order1] n-row gather
+    r_lo = jnp.asarray(idx.row_moff.astype(np.int64))
+    r_hi = jnp.asarray((idx.row_moff + idx.row_sizes - 1).astype(np.int64))
+    row_ymin = y[order1[r_lo]]
+    row_ymax = y[order1[r_hi]]
 
     bmax_row = jnp.asarray(idx.bmaxpow[idx.row_group])  # (R,)
     reach = maxlw[:, None] * bmax_row[None, :]  # (NB, R)
