@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """Large-graph (sparse bucket path) throughput measurement on the TPU.
 
-Usage: python baselines/scale_bench.py <graph.edg> [dim] [iters]
+Usage: python baselines/scale_bench.py <graph.edg> [dim] [iters] [init.csv]
 
 Prints a JSON line with steady-state edges/s for the bucketed sparse
 repulsion path, plus per-phase wall time, so sparse-path optimization has
 a stable yardstick (BASELINE.md row 4).
+
+The optional ``init.csv`` warm-starts from a saved embedding (reference
+CSV format), so post-convergence steady state — e.g. the geometry the
+1M layered pipeline ends in — is measurable without re-running the whole
+pipeline (VERDICT r4 item 5's cross-round trend line).
 """
 from __future__ import annotations
 
@@ -28,6 +33,7 @@ def main() -> None:
     path = sys.argv[1]
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    init_csv = sys.argv[4] if len(sys.argv) > 4 else None
 
     set_seed(1)
     g = io.read_edge_list(path)
@@ -35,6 +41,11 @@ def main() -> None:
     opts = EmbedderOptions(embedding_dimension=dim, max_iterations=iters)
     t0 = time.perf_counter()
     emb = WEmbedEmbedder(g, opts, verbose=False)
+    if init_csv:
+        # trailing weight column (if present) is dropped by the reference's
+        # overlapping-prefix rule; set_coordinates re-presizes the spans to
+        # the warm-start geometry
+        emb.set_coordinates(io.read_coordinates(init_csv))
     build_s = time.perf_counter() - t0
 
     # warm segment: compiles the step + while-loop jits and runs 3 iters.

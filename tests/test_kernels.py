@@ -640,7 +640,17 @@ def _cell_setup(n, d, additive=False, seed=7):
 import jax.numpy as jnp  # noqa: E402  (test helpers below)
 
 
-@pytest.mark.parametrize("d,additive", [(3, False), (4, False), (3, True)])
+@pytest.mark.parametrize(
+    "d,additive",
+    [
+        # d=3 non-additive is the largest variant (~22 s) — slow tier; the
+        # d=4 and additive variants keep cell-vs-dense parity in the
+        # default tier
+        pytest.param(3, False, marks=pytest.mark.slow),
+        (4, False),
+        (3, True),
+    ],
+)
 def test_cell_kernel_matches_dense_oracle(d, additive):
     """The cell-compacted sweep (interpret mode) must reproduce the exact
     dense-path repulsion when no block truncates — same contract as the
@@ -704,6 +714,7 @@ def test_cell_counts_match_windowed_span():
     )
 
 
+@pytest.mark.slow
 def test_cell_truncation_surfaces_and_growth_recovers():
     """Starved per-block capacities must surface overflow (never silent)
     and keep the edge correction consistent (only pairs the truncated
@@ -765,6 +776,7 @@ def test_cell_host_needs_mirror_matches_device():
     assert int(s.overflow) == host_ovf
 
 
+@pytest.mark.slow
 def test_cell_embedder_end_to_end_d3():
     """span_layout='cells' drives the cell-compact index end to end
     through the shared growth protocol."""
